@@ -1,0 +1,279 @@
+"""Filter operators (``hc filter include/exclude …``).
+
+Each is a thin declarative predicate — Catalyst pushes these into the
+parquet/Iceberg scan (check ``PushedFilters`` in .explain). The two
+non-trivial ones are ``near_duplicates`` (order-dependent per-group scan →
+applyInPandas) and ``off_topic`` (per-TimeMap measure vs first memento).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- languages
+
+def include_languages(df: DataFrame, langs: Sequence[str], lang: str = "language") -> DataFrame:
+    """Keep rows whose language ∈ set
+    (reference /root/reference/hypercane/hfilter/languages.py:6-27)."""
+    return df.where(F.col(lang).isin(*langs))
+
+
+def exclude_languages(df: DataFrame, langs: Sequence[str], lang: str = "language") -> DataFrame:
+    """Drop rows whose language ∈ set (reference languages.py:29-51)."""
+    return df.where(~F.col(lang).isin(*langs) | F.col(lang).isNull())
+
+
+# ------------------------------------------------------------- datetime / score
+
+def near_datetime(
+    df: DataFrame, lower, upper, mdt: str = "memento_datetime"
+) -> DataFrame:
+    """lower ≤ memento-datetime ≤ upper
+    (reference /root/reference/hypercane/hfilter/near_datetime.py:5-34)."""
+    return df.where(F.col(mdt).between(lower, upper))
+
+
+def score_range(df: DataFrame, score: str, op: str, value: float) -> DataFrame:
+    """Predicate like '>0.5' against a score column (reference sniffs the
+    column and parses the predicate string,
+    /root/reference/hypercane/actions/hfilter.py:130-177)."""
+    c = F.col(score).cast("double")
+    ops = {
+        ">": c > value, ">=": c >= value, "<": c < value,
+        "<=": c <= value, "==": c == value, "!=": c != value,
+    }
+    if op not in ops:
+        raise ValueError(f"unsupported comparator {op!r}")
+    return df.where(ops[op])
+
+
+# ------------------------------------------------------------------ patterns
+
+def containing_pattern(
+    df: DataFrame, pattern: str, text: str = "bpfree_text", include: bool = True
+) -> DataFrame:
+    """Regex match against boilerplate-free content. The reference uses
+    ``re.match`` (anchored at start,
+    /root/reference/hypercane/utils.py:634-638) — we anchor explicitly since
+    rlike is a search."""
+    pred = F.col(text).rlike("^(?:" + pattern + ")")
+    return df.where(pred if include else (~pred | F.col(text).isNull()))
+
+
+def containing_url_pattern(
+    df: DataFrame, pattern: str, urir: str = "urir", include: bool = True
+) -> DataFrame:
+    """Regex match on URI-R
+    (reference /root/reference/hypercane/hfilter/containing_urir.py:6-34)."""
+    pred = F.col(urir).rlike("^(?:" + pattern + ")")
+    return df.where(pred if include else (~pred | F.col(urir).isNull()))
+
+
+# ------------------------------------------------------------------ clusters
+
+def _split_cluster(col: str):
+    return F.split(F.col(col), "~~~")
+
+
+def include_cluster_id(
+    df: DataFrame, cluster_id: str, cluster: str = "cluster", subcluster: bool = True
+) -> DataFrame:
+    """Keep rows whose (sub)cluster id matches; composite ids 'a~~~b' match on
+    any segment when subcluster=True
+    (reference /root/reference/hypercane/hfilter/by_clusterid.py:5-26)."""
+    if subcluster:
+        return df.where(F.array_contains(_split_cluster(cluster), cluster_id))
+    return df.where(F.col(cluster) == cluster_id)
+
+
+def exclude_cluster_id(
+    df: DataFrame, cluster_id: str, cluster: str = "cluster", subcluster: bool = True
+) -> DataFrame:
+    """Inverse of include_cluster_id (reference by_clusterid.py:28-46)."""
+    if subcluster:
+        pred = F.array_contains(_split_cluster(cluster), cluster_id)
+    else:
+        pred = F.col(cluster) == cluster_id
+    return df.where(~pred | F.col(cluster).isNull())
+
+
+def largest_clusters(
+    df: DataFrame, n: int, cluster: str = "cluster"
+) -> DataFrame:
+    """Keep all members of the top-N clusters by member count
+    (reference /root/reference/hypercane/hfilter/largest_cluster.py:5-28).
+    Count-aggregate → top-N (tie-broken by cluster id desc, deterministic) →
+    broadcast semi-join."""
+    top = (
+        df.groupBy(cluster)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col(cluster).desc())
+        .limit(n)
+        .drop("__n")
+    )
+    return df.join(F.broadcast(top), on=cluster, how="left_semi")
+
+
+def highest_score_per_cluster(
+    df: DataFrame, score: str, cluster: str = "cluster", key: str = "urim"
+) -> DataFrame:
+    """Per cluster keep the max-score row; ties broken by max urim — the
+    reference's ``max()`` over (score, urim) tuples
+    (/root/reference/hypercane/hfilter/highest_rank_per_cluster.py:5-38).
+    (The reference compares scores as raw TSV *strings* when no scorer ran
+    in-process — actions/hfilter.py:109-128; we compare numerically, the
+    sane semantics, and note the quirk here for parity audits.)"""
+    w = Window.partitionBy(cluster).orderBy(
+        F.col(score).cast("double").desc(), F.col(key).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------ near-duplicates
+
+def near_duplicates(
+    df: DataFrame,
+    simhash: str = "tf_simhash",
+    group: str = "urit",
+    mdt: str = "memento_datetime",
+    key: str = "urim",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exclude near-duplicate mementos within each TimeMap.
+
+    Reference scan (/root/reference/hypercane/hfilter/near_duplicates.py:
+    101-117): sort group members by memento-datetime; keep a row iff
+    hamming(simhash, simhash_of_LAST_KEPT)/64 > threshold; the first row
+    always survives (compared against last_simhash=0 — and if a page's
+    simhash is within threshold of literal 0 it would be dropped; we keep
+    the first row unconditionally, documenting the divergence: the
+    reference's behavior vs an all-zero-adjacent first simhash is a bug).
+
+    The compare-to-last-KEPT state makes this a sequential scan per group —
+    not expressible as a window lag — so it's applyInPandas per TimeMap
+    (groups are independent → parallel). Hamming is vectorized numpy
+    popcount over uint64."""
+    out_schema = df.schema
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([mdt, key], kind="mergesort").reset_index(drop=True)
+        sh = pdf[simhash].to_numpy(dtype=np.int64).view(np.uint64)
+        keep = np.zeros(len(pdf), dtype=bool)
+        last = None
+        for i in range(len(pdf)):
+            if last is None:
+                keep[i] = True
+                last = sh[i]
+                continue
+            x = np.uint64(sh[i]) ^ np.uint64(last)
+            dist = bin(int(x)).count("1") / 64.0
+            if dist > threshold:
+                keep[i] = True
+                last = sh[i]
+        return pdf[keep]
+
+    return df.groupBy(group).applyInPandas(scan, schema=out_schema)
+
+
+# ----------------------------------------------------------------- off-topic
+
+def off_topic(
+    df: DataFrame,
+    measure: str = "cosine",
+    threshold: float | None = None,
+    group: str = "urit",
+    mdt: str = "memento_datetime",
+    text: str = "bpfree_text",
+    key: str = "urim",
+    keep_on_topic: bool = True,
+    score_col: str = "offtopic_score",
+) -> DataFrame:
+    """Exclude off-topic mementos: compare each memento against the *first*
+    (earliest) memento of its TimeMap with a similarity/size measure and
+    threshold (reference delegates to otmt,
+    /root/reference/hypercane/hfilter/remove_offtopic.py:375-440; measures
+    and default thresholds :406-434).
+
+    Measures (defaults follow otmt):
+      cosine     — TF cosine vs first memento, on-topic if > 0.12
+      jaccard    — token Jaccard distance, on-topic if < 0.94
+      wordcount  — relative word-count change, on-topic if > -0.85
+      bytecount  — relative byte-count change, on-topic if > -0.65
+
+    Implemented as: first-memento extraction (min_by over the group — one
+    partial-aggregating shuffle), broadcast-joined back, measure computed as
+    column expressions (cosine via a sparse token-intersection pandas UDF
+    only when texts are long; default pure-SQL TF vectors over distinct
+    tokens is used here).
+    """
+    defaults = {"cosine": 0.12, "jaccard": 0.94, "wordcount": -0.85, "bytecount": -0.65}
+    if measure not in defaults:
+        raise ValueError(f"unknown measure {measure!r}")
+    thr = defaults[measure] if threshold is None else threshold
+
+    # struct ordering is lexicographic ascending — (mdt, key) min = earliest
+    first = df.groupBy(group).agg(
+        F.min_by(F.col(text), F.struct(F.col(mdt), F.col(key))).alias("__first_text")
+    )
+    j = df.join(first, on=group, how="left")
+
+    toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda x: x != F.lit(""))
+    ftoks = F.filter(
+        F.split(F.lower(F.col("__first_text")), r"\s+"), lambda x: x != F.lit("")
+    )
+
+    if measure == "wordcount":
+        n, fn = F.size(toks), F.size(ftoks)
+        score = F.when(fn > 0, (n - fn) / fn).otherwise(F.lit(0.0))
+        pred = score > thr
+    elif measure == "bytecount":
+        n, fn = F.length(F.col(text)), F.length(F.col("__first_text"))
+        score = F.when(fn > 0, (n - fn) / fn).otherwise(F.lit(0.0))
+        pred = score > thr
+    elif measure == "jaccard":
+        a, b = F.array_distinct(toks), F.array_distinct(ftoks)
+        inter = F.size(F.array_intersect(a, b))
+        union = F.size(F.array_union(a, b))
+        score = F.lit(1.0) - F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        pred = score < thr
+    else:  # cosine over TF vectors — computed on the token multiset
+        # dot = Σ_t tf_a(t)·tf_b(t); norms via Σ tf².  Expressed with
+        # higher-order functions over the distinct-token union.
+        a, b = toks, ftoks
+        uniq = F.array_union(F.array_distinct(a), F.array_distinct(b))
+        tf = lambda arr, t: F.size(F.filter(arr, lambda x: x == t))  # noqa: E731
+        dot = F.aggregate(
+            uniq,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + tf(a, t).cast("long") * tf(b, t).cast("long"),
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.array_distinct(a),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + tf(a, t).cast("long") * tf(a, t).cast("long"),
+            ).cast("double")
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                F.array_distinct(b),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + tf(b, t).cast("long") * tf(b, t).cast("long"),
+            ).cast("double")
+        )
+        score = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+        pred = score > thr
+
+    out = j.withColumn(score_col, score.cast("double"))
+    out = out.where(pred if keep_on_topic else ~pred)
+    return out.drop("__first_text")

@@ -1,0 +1,256 @@
+"""Scoring operators (``hc score …``).
+
+Every scorer is a pure column expression (window aggregates for the
+normalized ones) — no Python in the hot path. Score columns are typed
+double; the reference's ``Score---*`` string columns materialize only in
+the TSV writer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hypercane_spark.functions.hashes import tokens_ws
+from hypercane_spark.functions.text import sentence_count, token_count
+from hypercane_spark.functions.urls import path_depth, url_category_score
+
+
+def score_path_depth(
+    df: DataFrame, urir: str = "urir", out: str = "path_depth_score"
+) -> DataFrame:
+    """McCown path depth (reference
+    /root/reference/hypercane/score/dsa1_score.py:459-485)."""
+    return df.withColumn(out, path_depth(F.col(urir)).cast("double"))
+
+
+def score_url_category(
+    df: DataFrame, urir: str = "urir", out: str = "url_category_score"
+) -> DataFrame:
+    """Category weight for the URI-R's registered domain (reference
+    /root/reference/hypercane/score/dsa1_score.py:639-675). At full scale the
+    curated domain lists ride a broadcast lookup table; see
+    functions/urls.py:url_category_score for the expression form."""
+    return df.withColumn(out, url_category_score(F.col(urir)))
+
+
+def dsa1_score(
+    df: DataFrame,
+    urir: str = "urir",
+    damage: str = "damage",
+    damage_weight: float = -0.40,
+    category_weight: float = 0.15,
+    path_depth_weight: float = 0.45,
+    out: str = "dsa1_score",
+) -> DataFrame:
+    """AlNoamany DSA1 score (reference
+    /root/reference/hypercane/score/dsa1_score.py:540-561):
+
+        (1 − dw·damage) + pdw·(path_depth/10) + cw·category
+
+    with defaults dw=−0.40, cw=0.15, pdw=0.45. Missing damage (the external
+    Memento-Damage API in the reference, :510-538) contributes 0."""
+    dmg = F.coalesce(F.col(damage).cast("double"), F.lit(0.0))
+    score = (
+        (F.lit(1.0) - F.lit(damage_weight) * dmg)
+        + F.lit(path_depth_weight) * (path_depth(F.col(urir)) / F.lit(10.0))
+        + F.lit(category_weight) * url_category_score(F.col(urir))
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def dsa2_score(
+    df: DataFrame,
+    card: str = "card_score",
+    size: str = "bpfree_len",
+    image_count: str = "image_count",
+    card_weight: float = 0.50,
+    size_weight: float = 0.25,
+    image_weight: float = 0.25,
+    out: str = "dsa2_score",
+) -> DataFrame:
+    """DSA2 score (reference /root/reference/hypercane/score/dsa2_score.py:
+    7-91): cw·card + sw·zscore(bpfree_size) + iw·zscore(image_count),
+    defaults 0.50/0.25/0.25. z-scores are global window aggregates
+    (population stddev, :70-71) — one pass, partial-aggregated."""
+    w = Window.partitionBy()
+
+    def z(col: str):
+        c = F.col(col).cast("double")
+        mu = F.avg(c).over(w)
+        sd = F.stddev_pop(c).over(w)
+        return F.when(sd > 0, (c - mu) / sd).otherwise(F.lit(0.0))
+
+    score = (
+        F.lit(card_weight) * F.col(card).cast("double")
+        + F.lit(size_weight) * z(size)
+        + F.lit(image_weight) * z(image_count)
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def card_score(
+    df: DataFrame,
+    has_card: str = "card_title",  # twitter:card flag
+    has_title: str = "card_title",
+    has_desc: str = "card_desc",
+    has_image: str = "card_image",
+    out: str = "card_score",
+) -> DataFrame:
+    """Simple card score: (card + title + description + image)/4 from HTML
+    meta presence flags (reference
+    /root/reference/hypercane/score/card_score.py:8-51; kv extraction
+    /root/reference/hypercane/utils.py:813-858 — in our payload tables the
+    flags are fetch-stage columns)."""
+    s = sum(
+        F.when(F.col(c), 1).otherwise(0)
+        for c in (has_card, has_title, has_desc, has_image)
+    )
+    return df.withColumn(out, (s / F.lit(4.0)).cast("double"))
+
+
+def image_count_score(
+    df: DataFrame,
+    images: DataFrame,
+    key: str = "urim",
+    out: str = "image_count_score",
+) -> DataFrame:
+    """Count of embedded images per memento (reference parses <img src/srcset>
+    from raw HTML, /root/reference/hypercane/score/image_count.py:7-69; our
+    fetched-images table already holds one row per embedded image → a
+    count aggregate + left join, zero HTML parsing in the engine)."""
+    counts = images.groupBy(key).agg(F.count(F.lit(1)).alias(out))
+    return df.join(counts, on=key, how="left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(0)).cast("double")
+    )
+
+
+def document_size_scores(
+    df: DataFrame,
+    text: str = "bpfree_text",
+    raw: str | None = None,
+    prefix: str = "",
+) -> DataFrame:
+    """Byte / character / word / sentence sizes (reference
+    /root/reference/hypercane/score/document_size.py:7-81)."""
+    out = df.withColumn(
+        f"{prefix}character_size", F.length(F.col(text)).cast("double")
+    )
+    out = out.withColumn(f"{prefix}word_size", token_count(text).cast("double"))
+    out = out.withColumn(
+        f"{prefix}sentence_size", sentence_count(text).cast("double")
+    )
+    if raw is not None:
+        out = out.withColumn(f"{prefix}byte_size", F.length(F.col(raw)).cast("double"))
+    return out
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text: str = "bpfree_text",
+    k1: float = 1.5,
+    b: float = 0.75,
+    out: str = "bm25_score",
+) -> DataFrame:
+    """BM25Okapi over whitespace tokens vs a fixed query
+    (reference wraps rank_bm25,
+    /root/reference/hypercane/score/bm25.py:6-48 — whole corpus in RAM,
+    acknowledged in its TODO at :26).
+
+    Fully distributed rebuild: two scalar corpus stats (N, avgdl — one
+    aggregate), per-term document frequencies (one aggregate over the
+    term-filtered explode), broadcast back as literals, then the BM25 sum is
+    a pure column expression:
+
+        Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1)  (Okapi+floor, rank_bm25's form).
+    """
+    toks = tokens_ws(text)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size(toks)).alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
+
+    dfreq_rows = (
+        df.select(F.explode(F.array_distinct(toks)).alias("t"))
+        .where(F.col("t").isin(*[q.lower() for q in query_terms]))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    dfreq = {r["t"]: r["df"] for r in dfreq_rows}
+
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for q in query_terms:
+        ql = q.lower()
+        d = dfreq.get(ql, 0)
+        idf = math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(ql))).cast("double")
+        score = score + F.lit(idf) * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / F.lit(float(avgdl))))
+        )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def top_entities_bm25(
+    df: DataFrame,
+    k_entities: int = 5,
+    text: str = "bpfree_text",
+    out: str = "bm25_score",
+) -> DataFrame:
+    """Query = the corpus's top-k terms by frequency (standing in for spaCy
+    entities — pluggable), then BM25 (reference
+    /root/reference/hypercane/score/bm25.py:50-61). Stopwords excluded so
+    'the' doesn't become the query."""
+    from hypercane_spark.functions.text import EN_STOPWORDS
+
+    top = (
+        df.select(F.explode(tokens_ws(text)).alias("t"))
+        .where(~F.col("t").isin(*EN_STOPWORDS))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(k_entities)
+        .collect()
+    )
+    return bm25_score(df, [r["t"] for r in top], text=text, out=out)
+
+
+def distance_from_centroid(
+    df: DataFrame,
+    text: str = "bpfree_text",
+    cluster: str = "cluster",
+    out: str = "centroid_distance",
+) -> DataFrame:
+    """Per cluster: euclidean distance of each doc's TF-IDF vector from the
+    cluster mean (reference fits KMeans(n_clusters=1) — whose centroid IS
+    the mean — /root/reference/hypercane/score/distance_from_centroid.py:
+    9-76; its --more-similar flag is a no-op bug at :71-72 which we do not
+    reproduce). applyInPandas per cluster; groups independent."""
+    import numpy as np
+    import pandas as pd
+
+    from hypercane_spark.operators.cluster import _tfidf_matrix
+
+    work = df.withColumn(
+        "__grp",
+        F.coalesce(
+            F.col(cluster).cast("string") if cluster in df.columns else F.lit(""),
+            F.lit(""),
+        ),
+    )
+    schema = work.withColumn(out, F.lit(0.0)).schema
+
+    def dist(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _tfidf_matrix(pdf[text])
+        c = m.mean(axis=0, keepdims=True)
+        pdf = pdf.copy()
+        pdf[out] = np.sqrt(((m - c) ** 2).sum(axis=1))
+        return pdf
+
+    return work.groupBy("__grp").applyInPandas(dist, schema=schema).drop("__grp")

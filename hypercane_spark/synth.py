@@ -1,0 +1,274 @@
+"""Deterministic synthetic fixtures (seed 42) per FIXTURES.md.
+
+The reference ships no algorithm fixtures (its test/ tree is Docker
+installer smoke tests), so correctness is established against these
+generated tables + pure-Python oracles (hypercane_spark.oracle).
+
+Image payloads: the sandbox has no image codec (no PIL), so the codec is a
+deterministic stand-in with the same *contract* as a real one:
+
+- fmt='png'  → lossless: decode(encode(x)) == x exactly
+- fmt='jpeg' → lossy: pixel values quantized to multiples of 4 →
+  RMSE ≈ 1.15 → PSNR ≈ 47 dB (> the 40 dB fidelity bar), deterministic
+
+``decode_image`` tries a real codec first (PIL, if ever present) and falls
+back to the stand-in — the Spark-side plumbing (binary column, schema,
+Arrow batching) is identical either way.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+
+SEED = 42
+MAGIC_RAW = b"HCRW"  # lossless stand-in container
+MAGIC_LOSSY = b"HCLS"  # quantized stand-in container
+
+HOSTS_N = 40
+URIRS_N = 400
+ZIPF_A = 1.2
+
+_WORDS = (
+    "archive web memento crawl story news event page image caption time "
+    "history record capture snapshot collection seed frontier host link "
+    "the a of to in and is for on with report summary topic"
+).split()
+_NONEN = "le la de un une het der die das el los".split()
+
+
+# ------------------------------------------------------------------ codec
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: uint8 array (h, w, 3) → container bytes."""
+    h, w, _ = pixels.shape
+    if fmt == "png":
+        payload, magic = pixels.tobytes(), MAGIC_RAW
+    elif fmt == "jpeg":
+        payload, magic = ((pixels >> 2) << 2).astype(np.uint8).tobytes(), MAGIC_LOSSY
+    else:
+        raise ValueError(f"unknown fmt {fmt}")
+    return magic + struct.pack("<II", w, h) + payload
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """container bytes → uint8 (h, w, 3). Tries a real codec first."""
+    magic = data[:4]
+    if magic in (MAGIC_RAW, MAGIC_LOSSY):
+        w, h = struct.unpack("<II", data[4:12])
+        return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, 3)
+    try:  # real codec path (PIL not installed in this sandbox)
+        import io
+
+        from PIL import Image  # type: ignore
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "real image codec unavailable; bytes are not in the stand-in container"
+        ) from e
+
+
+def average_phash(pixels: np.ndarray) -> int:
+    """64-bit average hash over an 8x8 gray downsample (signed int64)."""
+    gray = pixels.mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    cells = np.array(
+        [
+            gray[ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+            for i in range(8)
+            for j in range(8)
+        ]
+    )
+    bits = cells > cells.mean()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(((a.astype(float) - b.astype(float)) ** 2).mean())
+    return float("inf") if mse == 0 else 20 * math.log10(255.0 / math.sqrt(mse))
+
+
+# ------------------------------------------------------------- generators
+
+def _zipf_host(rng: random.Random) -> int:
+    # Zipf(1.2) over HOSTS_N hosts via inverse-CDF on precomputed weights
+    global _ZIPF_CDF
+    try:
+        cdf = _ZIPF_CDF
+    except NameError:
+        w = [1.0 / (i + 1) ** ZIPF_A for i in range(HOSTS_N)]
+        tot = sum(w)
+        acc, cdf = 0.0, []
+        for x in w:
+            acc += x / tot
+            cdf.append(acc)
+        _ZIPF_CDF = cdf
+    u = rng.random()
+    for i, c in enumerate(cdf):
+        if u <= c:
+            return i
+    return HOSTS_N - 1
+
+
+def gen_urirs(n: int = URIRS_N, seed: int = SEED) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        h = _zipf_host(rng)
+        depth = rng.randint(0, 4)
+        path = "/".join(f"p{rng.randint(0, 9)}" for _ in range(depth))
+        q = f"?id={i}" if rng.random() < 0.2 else ""
+        out.append(f"http://host{h:02d}.example/{path}{q}".replace("//?", "/?"))
+    return out
+
+
+def _mdt(rng: random.Random) -> datetime:
+    start = datetime(2015, 1, 1, tzinfo=timezone.utc)
+    return start + timedelta(seconds=rng.randint(0, 7 * 365 * 86400))
+
+
+def urim_for(urir: str, dt: datetime) -> str:
+    return f"https://archive.example/web/{dt.strftime('%Y%m%d%H%M%S')}/{urir}"
+
+
+def gen_timemaps(n_urits: int = 400, seed: int = SEED) -> list[dict]:
+    """rows: {urit, urir, mementos: [{datetime, urim}, ...]} — array order =
+    TimeMap document order (ascending datetime), the parity contract."""
+    rng = random.Random(seed + 1)
+    urirs = gen_urirs(n_urits, seed)
+    rows = []
+    for urir in urirs:
+        k = rng.randint(1, 50)
+        dts = sorted(_mdt(rng) for _ in range(k))
+        rows.append(
+            {
+                "urit": f"https://archive.example/timemap/link/{urir}",
+                "urir": urir,
+                "mementos": [
+                    {"datetime": dt.replace(tzinfo=None), "urim": urim_for(urir, dt)}
+                    for dt in dts
+                ],
+            }
+        )
+    return rows
+
+
+def _caption(rng: random.Random, i: int) -> str:
+    n = rng.randint(5, 40)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    if rng.random() < 0.08:
+        words = [rng.choice(_NONEN) for _ in range(n)]
+    return " ".join(words) + f" c{i}"
+
+
+def gen_images(n: int, seed: int = SEED) -> list[dict]:
+    """input_hint table: (image_id, bytes, w, h, fmt, caption, phash)."""
+    rng = random.Random(seed + 2)
+    rows = []
+    for i in range(n):
+        w = rng.choice([32, 64, 128])
+        h = rng.choice([32, 64, 128])
+        fmt = rng.choice(["png", "jpeg"])
+        px_rng = np.random.RandomState(seed + i)
+        pixels = px_rng.randint(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+        data = encode_image(pixels, fmt)
+        base = _caption(rng, i)
+        # ~10% near-verbatim duplicates of the previous caption
+        if rows and rng.random() < 0.10:
+            base = rows[-1]["caption"].rsplit(" ", 1)[0] + f" c{i}"
+        rows.append(
+            {
+                "image_id": f"img-{i:08d}",
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": base,
+                "phash": average_phash(decode_image(data)),
+            }
+        )
+    return rows
+
+
+def gen_mementos(n_urits: int = 400, seed: int = SEED) -> list[dict]:
+    """Flat memento catalog (FIXTURES.md §3) derived from timemaps."""
+    from hypercane_spark.oracle.simhash import py_simhash64, py_tf_simhash64
+
+    rng = random.Random(seed + 3)
+    tms = gen_timemaps(n_urits, seed)
+    rows = []
+    seq = 0
+    for tm in tms:
+        for m in tm["mementos"]:
+            cap_rng = random.Random(seed + seq * 7)
+            text = _caption(cap_rng, seq)
+            host = tm["urir"].split("//", 1)[1].split("/", 1)[0]
+            rows.append(
+                {
+                    "urim": m["urim"],
+                    "urit": tm["urit"],
+                    "urir": tm["urir"],
+                    "host": host,
+                    "memento_datetime": m["datetime"],
+                    "pubdate": (
+                        m["datetime"] - timedelta(days=rng.randint(0, 30))
+                        if rng.random() > 0.3
+                        else None
+                    ),
+                    "language": "en" if rng.random() < 0.85 else "fr",
+                    "raw_simhash": py_simhash64(text),
+                    "tf_simhash": py_tf_simhash64(text),
+                    "bpfree_text": text,
+                    "bpfree_len": len(text),
+                    "image_count": rng.randint(0, 12),
+                    "card_title": rng.random() < 0.7,
+                    "card_desc": rng.random() < 0.5,
+                    "card_image": rng.random() < 0.4,
+                    "damage": round(rng.random(), 4),
+                    "offtopic_score": round(rng.random(), 4),
+                    "cluster": rng.choice(["a", "b", "c", "a~~~x", "b~~~y"]),
+                    "score_seed": round(rng.random() * 10, 4),
+                    "seq": seq,
+                }
+            )
+            seq += 1
+    return rows
+
+
+def gen_robots(seed: int = SEED) -> list[dict]:
+    rng = random.Random(seed + 4)
+    rows = []
+    for h in range(HOSTS_N):
+        r = rng.random()
+        if r < 0.05:
+            dis = ["/"]  # disallow all
+        elif r < 0.15:
+            dis = [f"/p{rng.randint(0,9)}"]
+        else:
+            dis = []
+        rows.append(
+            {
+                "host": f"host{h:02d}.example",
+                "disallow": dis,
+                "crawl_delay": float(rng.choice([0.0, 0.0, 1.0, 2.0])),
+            }
+        )
+    return rows
+
+
+def gen_politeness(budget: int = 4) -> list[dict]:
+    return [
+        {"host": f"host{h:02d}.example", "budget_per_round": budget}
+        for h in range(HOSTS_N)
+    ]
