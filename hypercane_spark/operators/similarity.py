@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force top-k vs a query vector. The dot product is
+  a JVM-side higher-order ``zip_with``+``aggregate`` (no Python); the top-k
+  is TakeOrderedAndProject (per-partition heap, no global sort).
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH signs bucket
+  the corpus; only the query's bucket (and its Hamming-1 neighbors) is
+  scanned. At 100 TB the bucketed table is written partitioned by bucket so
+  a query prunes to a handful of files.
+- ``embedding_near_dups``: cosine near-duplicate pairs via the same LSH
+  buckets.
+
+Hyperplanes are generated from a seed on the driver (tiny: d×bits floats)
+and broadcast as literals inside the expression, so the plan stays fully
+declarative.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Brute-force cosine top-k vs a literal query vector.
+
+    Baseline/exact path: one scan, no shuffle (top-k is a per-partition heap
+    + driver merge of k·P rows)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    out = df.select(
+        F.col(key), F.round(cosine(F.col(vec), q), 6).alias(score_col)
+    )
+    return out.orderBy(F.col(score_col).desc(), F.col(key).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim)
+
+
+def lsh_bucket(
+    vec: Column, planes: np.ndarray
+) -> Column:
+    """Random-hyperplane LSH bucket id (int): bit i = sign(vec · plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        q = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, q) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket (+ neighbors
+    within probe_hamming bit flips). Recall improves with probes; cost is
+    (probed buckets / 2^bits) of the corpus."""
+    planes = _hyperplanes(len(query), bits, seed)
+    qsigns = (planes @ np.asarray(query)) > 0
+    qbucket = sum(1 << i for i, s in enumerate(qsigns) if s)
+    probes = {qbucket}
+    if probe_hamming >= 1:
+        for i in range(bits):
+            probes.add(qbucket ^ (1 << i))
+    work = df.withColumn("__b", lsh_bucket(F.col(vec), planes)).where(
+        F.col("__b").isin(*[int(p) for p in probes])
+    )
+    return cosine_topk(work, query, k=k, vec=vec, key=key, score_col=score_col)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (key_a < key_b, cosine ≥ threshold) found
+    inside shared LSH buckets — O(rows·avg_bucket) not O(rows²)."""
+    dim = len(df.select(vec).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    work = df.select(
+        F.col(key).alias("k"), F.col(vec).alias("v")
+    ).withColumn("__b", lsh_bucket(F.col("v"), planes))
+    a, b = work.alias("a"), work.alias("b")
+    return (
+        a.join(b, on="__b")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias(f"{key}_a"),
+            F.col("b.k").alias(f"{key}_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hypercane_spark.sources import io as IO
+
+
+def test_faux_timemaps_and_explode(spark, mementos):
+    tms = IO.faux_timemaps(mementos)
+    assert tms.count() == mementos.select("urir").distinct().count()
+    r = tms.first()
+    assert r["n_mementos"] == len(r["mementos"])
+    assert r["first_mdt"] <= r["last_mdt"]
+    flat = IO.explode_timemaps(tms)
+    assert flat.count() == mementos.count()
+    # document order = ascending datetime
+    bad = flat.where(
+        F.col("tm_pos") > 0
+    ).alias("a").join(
+        flat.alias("b"),
+        (F.col("a.urit") == F.col("b.urit")) & (F.col("a.tm_pos") - 1 == F.col("b.tm_pos")),
+    ).where(F.col("a.memento_datetime") < F.col("b.memento_datetime")).count()
+    assert bad == 0
+
+
+def test_tsv_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.tsv"
+    src.write_text("URI-M\tScore\nhttp://a/1\t0.5\nhttp://a/2\t0.9\nhttp://a/3\t0.1\n")
+    df = IO.read_tsv_resource(spark, str(src))
+    assert df.columns == ["URI-M", "Score", "seq"]
+    assert [r["seq"] for r in df.orderBy("seq").collect()] == [0, 1, 2]
+
+    from hypercane_spark.operators.order import by_score
+
+    ranked = by_score(df, "Score", descending=True, key="URI-M")
+    out = str(tmp_path / "out.tsv")
+    IO.write_ors(ranked, out)
+    lines = open(out).read().splitlines()
+    assert lines[0].split("\t")[0] == "URI-M"
+    assert [ln.split("\t")[0] for ln in lines[1:]] == [
+        "http://a/2", "http://a/1", "http://a/3",
+    ]
+
+
+def test_headerless_uri_list(spark, tmp_path):
+    src = tmp_path / "uris.txt"
+    src.write_text("http://x/1\nhttp://x/2\n")
+    df = IO.read_tsv_resource(spark, str(src))
+    assert df.count() == 2 and "URI-M" in df.columns
+
+
+def test_combine_union(spark):
+    a = spark.createDataFrame([("u1", 1.0)], "urim string, s1 double")
+    b = spark.createDataFrame([("u2", 2.0)], "urim string, s2 double")
+    out = IO.combine([a, b])
+    assert out.count() == 2
+    assert set(out.columns) == {"urim", "s1", "s2"}
