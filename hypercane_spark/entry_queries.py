@@ -1,0 +1,998 @@
+"""Driver-contract queries: each SURVEY.md §2 operator expressed over the
+provided testdata tables, paired with an ANSI-SQL DuckDB oracle.
+
+Conventions that make the oracle comparison byte-stable:
+
+- Deterministic randomness only: md5(key ':' seed) ordering (shared by
+  Spark and DuckDB), never rand().
+- Every computed column is aliased identically in both engines.
+- Doubles that pass through window/agg math are round(…, 6) in both.
+- Derived "memento" columns (urir/host/damage/…) are built from table
+  columns with arithmetic/string ops that have identical semantics in
+  Spark SQL and DuckDB.
+
+The registry maps name → (spark_fn, oracle_sql | None). A None oracle marks
+a genuinely non-SQL-expressible op (driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hypercane_spark.sources.io import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+# Derived memento-ish relation over documents: a deterministic URI-R per doc
+# (hosts chosen to exercise every DSA1 category branch), damage in [0,1).
+# The same expressions exist in _DOCS_URIR_SQL for the oracle.
+def _docs_mementos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    host = (
+        F.when(F.col("source") == "src0", "imgur.com")
+        .when(F.col("source") == "src1", "apnews.com")
+        .when(F.col("source") == "src2", "blogger.com")
+        .when(F.col("source") == "src3", "mynews.example")
+        .otherwise(
+            F.concat(
+                F.lit("host"),
+                F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0"),
+                F.lit(".example"),
+            )
+        )
+    )
+    urir = F.concat(
+        F.lit("http://"),
+        host,
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, "?q=1").otherwise(""),
+    )
+    return (
+        d.withColumn("urir", urir)
+        .withColumn("damage", (F.col("doc_id") % 100) / F.lit(100.0))
+        .withColumn("image_count", (F.col("doc_id") % 12).cast("int"))
+        .withColumn("card_title", F.col("doc_id") % 2 == 0)
+        .withColumn("card_desc", F.col("doc_id") % 3 == 0)
+        .withColumn("card_image", F.col("doc_id") % 4 == 0)
+    )
+
+
+_DOCS_URIR_SQL = """
+  SELECT *,
+    'http://' ||
+      (CASE source
+         WHEN 'src0' THEN 'imgur.com'
+         WHEN 'src1' THEN 'apnews.com'
+         WHEN 'src2' THEN 'blogger.com'
+         WHEN 'src3' THEN 'mynews.example'
+         ELSE 'host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') || '.example'
+       END) ||
+      '/' || source || '/doc/' || CAST(doc_id AS VARCHAR) ||
+      (CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END) AS urir,
+    (doc_id % 100) / 100.0 AS damage,
+    CAST(doc_id % 12 AS INT) AS image_count,
+    (doc_id % 2 = 0) AS card_title,
+    (doc_id % 3 = 0) AS card_desc,
+    (doc_id % 4 = 0) AS card_image
+  FROM documents
+"""
+
+
+# ============================================================== sampling
+
+@q(
+    "sample_systematic",
+    """
+    SELECT o_orderkey FROM (
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn % 5 = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.sample import systematic
+
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderkey")
+    return systematic(o, 5, seq="o_orderkey").select("o_orderkey")
+
+
+@q(
+    "sample_true_random_det",
+    """
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42') LIMIT 28
+    """,
+)
+def sample_true_random_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.sample import true_random
+
+    d = _docs(spark, sf_dir)
+    return true_random(d, 28, key="doc_id", seed=42).select("doc_id")
+
+
+@q(
+    "sample_stratified_random_det",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id, row_number() OVER (
+        PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
+      ) AS rn FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def sample_stratified_random_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.sample import stratified_random
+
+    d = _docs(spark, sf_dir)
+    return stratified_random(d, 3, cluster="lang", key="doc_id", seed=42).select(
+        "lang", "doc_id"
+    )
+
+
+@q(
+    "sample_stratified_systematic",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id, row_number() OVER (
+        PARTITION BY source ORDER BY doc_id
+      ) AS rn FROM documents
+    ) WHERE rn % 3 = 0
+    """,
+)
+def sample_stratified_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.sample import stratified_systematic
+
+    d = _docs(spark, sf_dir)
+    return stratified_systematic(d, 3, cluster="source", seq="doc_id").select(
+        "source", "doc_id"
+    )
+
+
+@q(
+    "sample_random_cluster_det",
+    """
+    WITH chosen AS (
+      SELECT source FROM (SELECT DISTINCT source FROM documents)
+      ORDER BY md5(source || ':42') LIMIT 2
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.source IN (SELECT source FROM chosen)
+    """,
+)
+def sample_random_cluster_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.sample import random_cluster
+
+    d = _docs(spark, sf_dir)
+    return random_cluster(d, 2, cluster="source", seed=42).select("doc_id", "source")
+
+
+@q(
+    "sample_undersample_det",
+    """
+    WITH sizes AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), m AS (SELECT min(n) AS min_n FROM sizes)
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id, row_number() OVER (
+        PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
+      ) AS rn FROM documents
+    ) WHERE rn <= (SELECT min_n FROM m)
+    """,
+)
+def sample_undersample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.sample import random_undersample
+
+    d = _docs(spark, sf_dir)
+    return random_undersample(d, cluster="source", key="doc_id", seed=42).select(
+        "source", "doc_id"
+    )
+
+
+# ============================================================== filters
+
+@q("filter_languages", "SELECT doc_id, lang FROM documents WHERE lang = 'en'")
+def filter_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import include_languages
+
+    d = _docs(spark, sf_dir)
+    return include_languages(d, ["en"], lang="lang").select("doc_id", "lang")
+
+
+@q(
+    "filter_near_datetime",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                 AND TIMESTAMP '2024-01-10 00:00:00'
+    """,
+)
+def filter_near_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import near_datetime
+
+    e = _events(spark, sf_dir)
+    return near_datetime(
+        e, "2024-01-05 00:00:00", "2024-01-10 00:00:00", mdt="ts"
+    ).select("event_id", "ts")
+
+
+@q(
+    "filter_score_range",
+    "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300",
+)
+def filter_score_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import score_range
+
+    d = _docs(spark, sf_dir)
+    return score_range(d, "n_chars", ">", 300).select("doc_id", "n_chars")
+
+
+@q(
+    "filter_containing_pattern",
+    r"SELECT doc_id FROM documents WHERE regexp_matches(text, '^(?:key )')",
+)
+def filter_containing_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import containing_pattern
+
+    d = _docs(spark, sf_dir)
+    return containing_pattern(d, "key ", text="text").select("doc_id")
+
+
+@q(
+    "filter_containing_url_pattern",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL})
+    SELECT doc_id, urir FROM m WHERE regexp_matches(urir, '^(?:http://host0)')
+    """,
+)
+def filter_containing_url_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import containing_url_pattern
+
+    m = _docs_mementos(spark, sf_dir)
+    return containing_url_pattern(m, "http://host0").select("doc_id", "urir")
+
+
+@q(
+    "filter_largest_clusters",
+    """
+    WITH top AS (
+      SELECT source FROM (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+      ) ORDER BY n DESC, source DESC LIMIT 3
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.source IN (SELECT source FROM top)
+    """,
+)
+def filter_largest_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import largest_clusters
+
+    d = _docs(spark, sf_dir)
+    return largest_clusters(d, 3, cluster="source").select("doc_id", "source")
+
+
+@q(
+    "filter_highest_score_per_cluster",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars, row_number() OVER (
+        PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id DESC
+      ) AS rn FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def filter_highest_score_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import highest_score_per_cluster
+
+    d = _docs(spark, sf_dir)
+    return highest_score_per_cluster(
+        d, "n_chars", cluster="source", key="doc_id"
+    ).select("source", "doc_id", "n_chars")
+
+
+# ============================================================== clustering
+
+@q(
+    "cluster_time_slice",
+    """
+    WITH n AS (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) AS fill FROM events)
+    SELECT event_id, CAST((rn - 1) // (SELECT fill FROM n) AS VARCHAR) AS cluster
+    FROM (
+      SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+    )
+    """,
+)
+def cluster_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.cluster import time_slice
+
+    e = _events(spark, sf_dir).select("event_id", "ts")
+    return time_slice(e, k=10, mdt="ts", key="event_id").select("event_id", "cluster")
+
+
+@q(
+    "cluster_domainname",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL}),
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(urir, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+      FROM m
+    )
+    SELECT doc_id, CAST(dense_rank() OVER (ORDER BY host) - 1 AS VARCHAR) AS cluster
+    FROM h
+    """,
+)
+def cluster_domainname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.cluster import domainname
+
+    m = _docs_mementos(spark, sf_dir)
+    return domainname(m.drop("cluster") if "cluster" in m.columns else m).select(
+        "doc_id", "cluster"
+    )
+
+
+@q(
+    "cluster_original_resource",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL})
+    SELECT doc_id, CAST(dense_rank() OVER (ORDER BY urir) - 1 AS VARCHAR) AS cluster
+    FROM m
+    """,
+)
+def cluster_original_resource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.cluster import original_resource
+
+    m = _docs_mementos(spark, sf_dir)
+    return original_resource(m).select("doc_id", "cluster")
+
+
+# ============================================================== scoring
+
+_PATH_DEPTH_SQL = """
+  len(list_filter(
+        string_split(regexp_extract(urir, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1), '/'),
+        x -> x <> '')) +
+  (CASE WHEN regexp_extract(urir, '^[^?#]*\\?([^#]*)', 1) <> '' THEN 1 ELSE 0 END)
+"""
+
+@q(
+    "score_path_depth",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL})
+    SELECT doc_id, CAST({_PATH_DEPTH_SQL} AS DOUBLE) AS path_depth_score FROM m
+    """,
+)
+def score_path_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import score_path_depth as op
+
+    m = _docs_mementos(spark, sf_dir)
+    return op(m).select("doc_id", "path_depth_score")
+
+
+# registered-domain + category CASE as SQL (mirrors functions/urls.py).
+_CATEGORY_SQL = """
+  CASE regdom
+    WHEN 'imgur.com' THEN 0.6
+    WHEN 'apnews.com' THEN 0.7
+    WHEN 'blogger.com' THEN 0.4
+    ELSE CASE WHEN regdom LIKE '%news%' THEN 0.7 ELSE 0.0 END
+  END
+"""
+
+_REGDOM_SQL = """
+  CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+       ELSE array_to_string(list_slice(string_split(host, '.'),
+              len(string_split(host, '.')) - 1, len(string_split(host, '.'))), '.')
+  END
+"""
+
+@q(
+    "score_url_category",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL}),
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(urir, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+      FROM m
+    ),
+    r AS (SELECT doc_id, {_REGDOM_SQL} AS regdom FROM h)
+    SELECT doc_id, CAST(({_CATEGORY_SQL}) AS DOUBLE) AS url_category_score FROM r
+    """,
+)
+def score_url_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import score_url_category as op
+
+    m = _docs_mementos(spark, sf_dir)
+    return op(m).select("doc_id", "url_category_score")
+
+
+@q(
+    "score_dsa1",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL}),
+    h AS (
+      SELECT doc_id, urir, damage,
+             lower(regexp_extract(urir, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+      FROM m
+    ),
+    r AS (SELECT *, {_REGDOM_SQL} AS regdom FROM h)
+    SELECT doc_id,
+      round((1.0 - (-0.40) * damage)
+            + 0.45 * (CAST(({_PATH_DEPTH_SQL}) AS DOUBLE) / 10.0)
+            + 0.15 * CAST(({_CATEGORY_SQL}) AS DOUBLE), 6) AS dsa1_score
+    FROM r
+    """,
+)
+def score_dsa1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import dsa1_score as op
+
+    m = _docs_mementos(spark, sf_dir)
+    return op(m).select("doc_id", "dsa1_score")
+
+
+@q(
+    "score_card",
+    """
+    SELECT doc_id,
+      CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) * 2
+         + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0 AS card_score
+    FROM documents
+    """,
+)
+def score_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import card_score as op
+
+    m = _docs_mementos(spark, sf_dir)
+    return op(m, has_card="card_title", has_title="card_title",
+              has_desc="card_desc", has_image="card_image").select(
+        "doc_id", "card_score"
+    )
+
+
+@q(
+    "score_dsa2",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) * 2
+           + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0 AS card_score,
+        CAST(n_chars AS DOUBLE) AS sz,
+        CAST(doc_id % 12 AS DOUBLE) AS ic
+      FROM documents
+    )
+    SELECT doc_id,
+      round(0.50 * card_score
+        + 0.25 * CASE WHEN stddev_pop(sz) OVER () > 0
+                      THEN (sz - avg(sz) OVER ()) / stddev_pop(sz) OVER () ELSE 0.0 END
+        + 0.25 * CASE WHEN stddev_pop(ic) OVER () > 0
+                      THEN (ic - avg(ic) OVER ()) / stddev_pop(ic) OVER () ELSE 0.0 END,
+        6) AS dsa2_score
+    FROM base
+    """,
+)
+def score_dsa2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import card_score, dsa2_score as op
+
+    m = card_score(_docs_mementos(spark, sf_dir))
+    return op(m, card="card_score", size="n_chars", image_count="image_count").select(
+        "doc_id", "dsa2_score"
+    )
+
+
+@q(
+    "score_document_sizes",
+    r"""
+    SELECT doc_id,
+      CAST(length(text) AS DOUBLE) AS character_size,
+      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS DOUBLE) AS word_size,
+      CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> trim(x) <> '')) AS DOUBLE) AS sentence_size
+    FROM documents
+    """,
+)
+def score_document_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import document_size_scores
+
+    d = _docs(spark, sf_dir)
+    return document_size_scores(d, text="text").select(
+        "doc_id", "character_size", "word_size", "sentence_size"
+    )
+
+
+@q(
+    "score_bm25",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
+    ),
+    dfreq AS (
+      SELECT
+        (SELECT count(*) FROM toks WHERE list_contains(t, 'spark')) AS df_spark,
+        (SELECT count(*) FROM toks WHERE list_contains(t, 'join')) AS df_join
+    )
+    SELECT doc_id,
+      round(
+        ln((s.n - d.df_spark + 0.5) / (d.df_spark + 0.5) + 1.0)
+          * (tf_spark * 2.5 / (tf_spark + 1.5 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)))
+        + ln((s.n - d.df_join + 0.5) / (d.df_join + 0.5) + 1.0)
+          * (tf_join * 2.5 / (tf_join + 1.5 * (1.0 - 0.75 + 0.75 * dl / s.avgdl))),
+      6) AS bm25_score
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+             CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf_join,
+             CAST(len(t) AS DOUBLE) AS dl
+      FROM toks
+    ), stats s, dfreq d
+    """,
+)
+def score_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import bm25_score as op
+
+    d = _docs(spark, sf_dir)
+    return op(d, ["spark", "join"], text="text").select("doc_id", "bm25_score")
+
+
+# ============================================================== ordering
+
+@q(
+    "order_memento_datetime",
+    """
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rank
+    FROM events
+    """,
+)
+def order_memento_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.order import by_memento_datetime
+
+    e = _events(spark, sf_dir)
+    return by_memento_datetime(e, mdt="ts", key="event_id").select("event_id", "rank")
+
+
+@q(
+    "order_pubdate_else_mdt",
+    """
+    WITH m AS (
+      SELECT event_id, ts,
+        CASE WHEN event_type = 'view' THEN ts - INTERVAL 1 DAY ELSE NULL END AS pubdate
+      FROM events
+    )
+    SELECT event_id,
+           row_number() OVER (ORDER BY coalesce(pubdate, ts) ASC, event_id ASC) AS rank
+    FROM m
+    """,
+)
+def order_pubdate_else_mdt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.order import by_pubdate_else_memento_datetime
+
+    e = _events(spark, sf_dir).withColumn(
+        "pubdate",
+        F.when(
+            F.col("event_type") == "view",
+            F.col("ts") - F.expr("INTERVAL 1 DAY"),
+        ),
+    )
+    return by_pubdate_else_memento_datetime(
+        e, pubdate="pubdate", mdt="ts", key="event_id"
+    ).select("event_id", "rank")
+
+
+@q(
+    "order_score",
+    """
+    SELECT event_id,
+           row_number() OVER (ORDER BY CAST(value AS DOUBLE) DESC, event_id DESC) AS rank
+    FROM events
+    """,
+)
+def order_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.order import by_score
+
+    e = _events(spark, sf_dir)
+    return by_score(e, "value", descending=True, key="event_id").select(
+        "event_id", "rank"
+    )
+
+
+# ====================================================== report aggregations
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+@q(
+    "agg_terms_tfdf",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM toks),
+    x AS (SELECT doc_id, unnest(t) AS term FROM toks)
+    SELECT term,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df,
+           round(count(*) * (CAST(count(DISTINCT doc_id) AS DOUBLE)
+                 / (SELECT n_docs FROM n)), 6) AS tfidf_quirk
+    FROM x GROUP BY term
+    ORDER BY tf DESC, term ASC LIMIT 50
+    """,
+)
+def agg_terms_tfdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term report incl. the reference's non-inverse 'tfidf' quirk
+    tf*(df/N) (reference /root/reference/hypercane/report/terms.py:96-97)."""
+    from hypercane_spark.functions.hashes import tokens_ws
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    return (
+        d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .withColumn(
+            "tfidf_quirk",
+            F.round(F.col("tf") * (F.col("df").cast("double") / F.lit(float(n_docs))), 6),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@q(
+    "agg_seedstats",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL}),
+    h AS (
+      SELECT doc_id, urir,
+             lower(regexp_extract(urir, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+      FROM m
+    )
+    SELECT
+      round((count(DISTINCT host) - 1.0) / (count(*) - 1.0), 6) AS domain_diversity,
+      round(avg(CAST({_PATH_DEPTH_SQL} AS DOUBLE)), 6) AS mean_path_depth,
+      round(avg(CASE WHEN regexp_extract(urir, '^[^?#]*\\?([^#]*)', 1) <> ''
+                THEN 1.0 ELSE 0.0 END), 6) AS pct_query
+    FROM h
+    """,
+)
+def agg_seedstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed statistics (reference
+    /root/reference/hypercane/report/seedstats.py:5-110): domain diversity
+    (u-1)/(n-1), mean path depth, fraction with query strings."""
+    from hypercane_spark.functions.urls import path_depth, url_host, url_query
+
+    m = _docs_mementos(spark, sf_dir)
+    return m.agg(
+        F.round(
+            (F.countDistinct(url_host(F.col("urir"))) - 1.0)
+            / (F.count(F.lit(1)) - 1.0),
+            6,
+        ).alias("domain_diversity"),
+        F.round(F.avg(path_depth(F.col("urir")).cast("double")), 6).alias(
+            "mean_path_depth"
+        ),
+        F.round(
+            F.avg(F.when(url_query(F.col("urir")) != "", 1.0).otherwise(0.0)), 6
+        ).alias("pct_query"),
+    )
+
+
+@q(
+    "agg_growth_curve",
+    """
+    SELECT event_id,
+      round(CAST(row_number() OVER (ORDER BY ts, event_id) AS DOUBLE)
+            / (SELECT count(*) FROM events), 6) AS cum_pct
+    FROM events
+    """,
+)
+def agg_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection growth curve: cumulative fraction of mementos over event
+    time (reference /root/reference/hypercane/report/growth.py:13-317)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    n = e.count()
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        F.round(F.row_number().over(w).cast("double") / F.lit(float(n)), 6).alias(
+            "cum_pct"
+        ),
+    )
+
+
+@q(
+    "agg_faux_timemap_stats",
+    """
+    WITH m AS (
+      SELECT 'http://host' || lpad(CAST(user_id % 20 AS VARCHAR), 2, '0')
+               || '.example/u/' || CAST(user_id AS VARCHAR) AS urir,
+             'https://archive.example/web/' || CAST(event_id AS VARCHAR)
+               || '/u/' || CAST(user_id AS VARCHAR) AS urim,
+             ts
+      FROM events
+    )
+    SELECT urir,
+           count(*) AS n_mementos,
+           min(ts) AS first_mdt,
+           max(ts) AS last_mdt
+    FROM m GROUP BY urir
+    """,
+)
+def agg_faux_timemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faux-TimeMap synthesis (group mementos by original resource):
+    scalar projection of sources/io.py:faux_timemaps."""
+    from hypercane_spark.sources.io import faux_timemaps
+
+    e = _events(spark, sf_dir)
+    m = e.select(
+        F.concat(
+            F.lit("http://host"),
+            F.lpad((F.col("user_id") % 20).cast("string"), 2, "0"),
+            F.lit(".example/u/"),
+            F.col("user_id").cast("string"),
+        ).alias("urir"),
+        F.concat(
+            F.lit("https://archive.example/web/"),
+            F.col("event_id").cast("string"),
+            F.lit("/u/"),
+            F.col("user_id").cast("string"),
+        ).alias("urim"),
+        F.col("ts").alias("memento_datetime"),
+    )
+    return faux_timemaps(m).select("urir", "n_mementos", "first_mdt", "last_mdt")
+
+
+# ============================================================== dedup
+
+_DUPFUL_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+def _dupful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(dups)
+
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH u AS ({_DUPFUL_SQL}),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h FROM u)
+      GROUP BY h
+    )
+    SELECT u.doc_id FROM u WHERE u.doc_id IN (SELECT doc_id FROM keep)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.dedup import exact_dedup
+
+    u = _dupful(spark, sf_dir)
+    return exact_dedup(u, text="text", key="doc_id").select("doc_id")
+
+
+_SHINGLES_SQL = f"""
+  CASE WHEN len({_TOKS_SQL}) >= 3 THEN
+    list_transform(range(1, len({_TOKS_SQL}) - 1),
+                   i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' '))
+  ELSE [array_to_string({_TOKS_SQL}, ' ')] END
+"""
+
+_MINHASH_BANDS_SQL = f"""
+  [ md5(CAST(b AS VARCHAR) || '|' || array_to_string(
+      list_slice(
+        [ coalesce(list_min(list_transform({_SHINGLES_SQL},
+            t -> md5(CAST(p AS VARCHAR) || ':' || t))), repeat('z', 32))
+          FOR p IN [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15] ],
+        b * 4 + 1, b * 4 + 4), ','))
+    FOR b IN [0,1,2,3] ]
+"""
+
+@q(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH banded AS (
+      SELECT DISTINCT doc_id AS k, unnest({_MINHASH_BANDS_SQL}) AS band
+      FROM documents
+    )
+    SELECT DISTINCT a.k AS doc_id_a, b.k AS doc_id_b
+    FROM banded a JOIN banded b USING (band)
+    WHERE a.k < b.k
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _docs(spark, sf_dir)
+    return minhash_lsh_candidates(
+        d, text="text", key="doc_id", num_perm=16, bands=4, shingle_n=3
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS k, {_TOKS_SQL}[1] AS blk,
+             list_distinct({_SHINGLES_SQL}) AS sh
+      FROM documents
+    )
+    SELECT a.k AS doc_id_a, b.k AS doc_id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM w a JOIN w b USING (blk)
+    WHERE a.k < b.k
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        d, text="text", key="doc_id", threshold=0.5, shingle_n=3
+    )
+
+
+@q("dedup_simhash", None)  # xxhash64 not available in the SQL oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.dedup import simhash_dedup
+
+    d = _docs(spark, sf_dir)
+    return simhash_dedup(d, text="text", key="doc_id", max_hamming=3).select(
+        "doc_id"
+    )
+
+
+# ============================================================== similarity
+
+_COSINE_SQL = """
+  CASE WHEN sqrt(list_dot_product(CAST(a AS DOUBLE[]), CAST(a AS DOUBLE[]))) > 0
+        AND sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) > 0
+  THEN round(list_dot_product(CAST(a AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(a AS DOUBLE[]), CAST(a AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6)
+  ELSE 0.0 END
+"""
+
+@q(
+    "sim_topk_cosine",
+    f"""
+    WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, {_COSINE_SQL} AS cosine
+      FROM (SELECT vec_id, embedding AS a FROM embeddings), qq
+    )
+    SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    return cosine_topk(e, qv, k=10, vec="embedding", key="vec_id")
+
+
+@q("sim_lsh_topk", None)  # hyperplanes are numpy-seeded; no SQL oracle
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.similarity import lsh_bucket_topk
+
+    e = _emb(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    return lsh_bucket_topk(e, qv, k=10, bits=8, probe_hamming=1)
+
+
+# ============================================================== text analysis
+
+_STOPWORDS_SQL = """['the','a','an','and','or','of','to','in','is','it','that',
+ 'for','on','with','as','was','at','by','be','this','are','from','but','not',
+ 'have','had','has']"""
+
+@q(
+    "text_language_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+      CASE WHEN len(toks) > 0
+            AND CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                / len(toks) >= 0.08
+      THEN 'en' ELSE 'other' END AS lang_guess
+    FROM t
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.text import language_guess
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", language_guess("text").alias("lang_guess"))
+
+
+@q(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+      CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+      CAST(length(text) AS INT) AS n_chars2,
+      md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.text import doc_fingerprint, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars2"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / nullif(length(text), 0) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+      round(
+        least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.4
+        + least((CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END) / 0.4, 1.0) * 0.3
+        + greatest(1.0 - coalesce(punct, 0.0) * 4.0, 0.0) * 0.3,
+      6) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.text import quality_score
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score("text").alias("quality"))
