@@ -996,3 +996,111 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+# ============================================================== crawl engine
+
+_FRONTIER_FROM_EVENTS_SQL = """
+  SELECT
+    'https://archive.example/web/' || CAST(10000000000000 + event_id AS VARCHAR)
+      || '/http://host' || lpad(CAST(user_id % 20 AS VARCHAR), 2, '0')
+      || '.example/p/' || CAST(event_id AS VARCHAR) AS urim,
+    'http://host' || lpad(CAST(user_id % 20 AS VARCHAR), 2, '0')
+      || '.example/p/' || CAST(event_id AS VARCHAR) AS urir,
+    'host' || lpad(CAST(user_id % 20 AS VARCHAR), 2, '0') || '.example' AS host,
+    CAST(value AS DOUBLE) AS priority
+  FROM events
+"""
+
+
+def _frontier_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    host = F.concat(
+        F.lit("host"), F.lpad((F.col("user_id") % 20).cast("string"), 2, "0"),
+        F.lit(".example"),
+    )
+    urir = F.concat(
+        F.lit("http://"), host, F.lit("/p/"), F.col("event_id").cast("string")
+    )
+    urim = F.concat(
+        F.lit("https://archive.example/web/"),
+        (F.lit(10000000000000) + F.col("event_id")).cast("string"),
+        F.lit("/"), urir,
+    )
+    return e.select(
+        urim.alias("urim"), urir.alias("urir"), host.alias("host"),
+        F.col("value").cast("double").alias("priority"),
+    )
+
+
+@q(
+    "crawl_politeness_round",
+    f"""
+    WITH f AS ({_FRONTIER_FROM_EVENTS_SQL})
+    SELECT urim, host, pos FROM (
+      SELECT urim, host,
+             row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, urim ASC
+             ) AS pos
+      FROM f
+    ) WHERE pos <= 4
+    """,
+)
+def crawl_politeness_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One politeness-scheduler round: per-host budget window — the core
+    selection rule of streaming/frontier.py:_politeness_select, verified
+    against the SQL oracle."""
+    from pyspark.sql import Window
+
+    f = _frontier_from_events(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("urim").asc()
+    )
+    return (
+        f.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 4)
+        .select("urim", "host", "pos")
+    )
+
+
+_SURT_SQL = """
+  array_to_string(list_reverse(string_split(
+    lower(regexp_extract(urim, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)), '.')), ',')
+  || ')' ||
+  (CASE WHEN regexp_extract(urim, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) = ''
+        THEN '/'
+        WHEN length(regexp_extract(urim, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1)) > 1
+         AND regexp_extract(urim, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) LIKE '%/'
+        THEN lower(left(regexp_extract(urim, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1),
+                   length(regexp_extract(urim, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1)) - 1))
+        ELSE lower(regexp_extract(urim, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1)) END) ||
+  (CASE WHEN regexp_extract(urim, '^[^?#]*\\?([^#]*)', 1) <> ''
+        THEN '?' || lower(regexp_extract(urim, '^[^?#]*\\?([^#]*)', 1)) ELSE '' END)
+"""
+
+@q(
+    "crawl_seen_dedup",
+    f"""
+    WITH f AS ({_FRONTIER_FROM_EVENTS_SQL}),
+    k AS (SELECT urim, {_SURT_SQL} AS surt FROM f),
+    seen AS (SELECT {_SURT_SQL} AS surt FROM ({_FRONTIER_FROM_EVENTS_SQL})
+             WHERE CAST(regexp_extract(urim, '/p/([0-9]+)$', 1) AS BIGINT) % 3 = 0)
+    SELECT k.urim, k.surt FROM k
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.surt = k.surt)
+    """,
+)
+def crawl_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen dedup: SURT-canonicalized anti-join (the exact backstop of
+    streaming/frontier.py:_not_seen), with the SURT computed by
+    functions/urls.py:surt_key and mirrored in SQL."""
+    from hypercane_spark.functions.urls import surt_key
+
+    f = _frontier_from_events(spark, sf_dir)
+    k = f.select("urim", surt_key(F.col("urim")).alias("surt"))
+    seen = (
+        f.where(
+            F.regexp_extract(F.col("urim"), r"/p/([0-9]+)$", 1).cast("long") % 3 == 0
+        )
+        .select(surt_key(F.col("urim")).alias("surt"))
+    )
+    return k.join(seen, "surt", "left_anti").select("urim", "surt")

@@ -1,0 +1,81 @@
+"""Round-level checkpoint/resume for the crawl engine.
+
+Layout (an Iceberg-snapshot stand-in — the sandbox has no Iceberg runtime
+jars; on a real cluster these writes become ``writeTo(...).createOrReplace``
+table snapshots with the same round metadata):
+
+    <base>/round=N/frontier.parquet
+    <base>/round=N/seen.parquet
+    <base>/round=N/fetched.parquet      (per-round fetch output, lineage cols)
+    <base>/round=N/manifest.json        (counts + per-stage timings)
+
+Resume reads the highest complete round (or any explicit round) and
+reconstructs frontier + seen exactly — the BASELINE.md resume criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class RoundCheckpoint:
+    def __init__(self, base: str):
+        self.base = base
+        os.makedirs(base, exist_ok=True)
+
+    def _dir(self, rnd: int) -> str:
+        return os.path.join(self.base, f"round={rnd}")
+
+    def write(
+        self,
+        rnd: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        fetched: DataFrame | None,
+        metrics: dict,
+    ) -> None:
+        d = self._dir(rnd)
+        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier.parquet"))
+        seen.write.mode("overwrite").parquet(os.path.join(d, "seen.parquet"))
+        if fetched is not None:
+            fetched.write.mode("overwrite").parquet(
+                os.path.join(d, "fetched.parquet")
+            )
+        # manifest written last = commit marker (atomic-rename semantics)
+        tmp = os.path.join(d, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"round": rnd, **metrics}, f)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
+
+    def rounds(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.base):
+            return out
+        for name in os.listdir(self.base):
+            if name.startswith("round=") and os.path.exists(
+                os.path.join(self.base, name, "manifest.json")
+            ):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def manifest(self, rnd: int) -> dict:
+        with open(os.path.join(self._dir(rnd), "manifest.json")) as f:
+            return json.load(f)
+
+    def read(
+        self, spark: SparkSession, rnd: int | None = None
+    ) -> tuple[int, DataFrame, DataFrame]:
+        """→ (round, frontier, seen). rnd=None → latest complete round."""
+        rounds = self.rounds()
+        if not rounds:
+            raise FileNotFoundError(f"no complete rounds under {self.base}")
+        rnd = rounds[-1] if rnd is None else rnd
+        d = self._dir(rnd)
+        return (
+            rnd,
+            spark.read.parquet(os.path.join(d, "frontier.parquet")),
+            spark.read.parquet(os.path.join(d, "seen.parquet")),
+        )

@@ -1,0 +1,316 @@
+"""DataFrame-driven crawl frontier — the north_rule centerpiece.
+
+Replaces the reference's sequential Scrapy TimeMap walk
+(/root/reference/hypercane/identify/archivecrawl.py:103-138: a single
+process BFS with an O(n) list seen-set) with an iterative-batch scheduler
+where every round is one declarative DataFrame job:
+
+    frontier ──anti-join seen (bloom prefilter + exact backstop)
+            ──robots gate (broadcast dim join)
+            ──politeness: row_number over (host[, salt]) ordered by
+              (priority desc, urim asc) ≤ per-host budget
+            ──fetch: broadcast/shuffle join against the web/payload table,
+              lineage columns stamped (round, fetch_ts, partition_id)
+            ──link extraction: explode(outlinks) → canonicalize (SURT)
+            ──dedup vs seen ∪ selected → next frontier
+
+Determinism contract (BASELINE crawl-order fidelity): the global pop order
+is (round asc, priority desc, urim asc) under per-host budget B and depth
+limit D — reproduced exactly by the pure-Python oracle
+(hypercane_spark/oracle/crawl.py). Politeness salting (for hosts hotter
+than one partition) splits a host's queue into ``salt`` sub-queues for
+*fetch parallelism* while the budget window stays per-host, so parity is
+unaffected.
+
+Scale notes (10^10-URL design):
+- frontier and seen never touch the driver; each round's state is written
+  to round-partitioned parquet (Iceberg-snapshot stand-in) which also
+  truncates the iterative lineage.
+- seen-membership is a sharded bloom prefilter (bit positions computed
+  JVM-side) + LEFT ANTI JOIN exact backstop; the anti-join shuffles only
+  bloom-positive candidates — at steady state a tiny fraction of the round.
+- per-host windows shuffle on host (salted when skewed); AQE handles
+  residual skew.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hypercane_spark.functions.urls import surt_key
+from hypercane_spark.streaming.bloom import bloom_might_contain, build_bloom
+from hypercane_spark.streaming.checkpoint import RoundCheckpoint
+from hypercane_spark.streaming.robots import robots_gate
+
+FRONTIER_SCHEMA = (
+    "urim string, urir string, host string, priority double, depth int, "
+    "discovered_from string"
+)
+
+
+@dataclass
+class CrawlConfig:
+    per_host_budget: int = 4
+    max_depth: int = 3
+    max_rounds: int = 50
+    salt_hot_hosts: int = 1  # >1 splits hot-host queues for fetch parallelism
+    bloom_bits: int = 1 << 20
+    bloom_hashes: int = 5
+    use_bloom: bool = True
+
+
+@dataclass
+class RoundMetrics:
+    round: int = 0
+    candidates: int = 0
+    allowed: int = 0
+    selected: int = 0
+    new_links: int = 0
+    seen_size: int = 0
+    timings: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    """Iterative-batch crawl over a web table
+    ``(urim, urir, host, memento_datetime, damage, priority, image_id,
+    outlinks array<string>)`` with an image+caption payload table joined in
+    at fetch time (input_hint shape)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        web: DataFrame,
+        robots: DataFrame | None = None,
+        images: DataFrame | None = None,
+        checkpoint_dir: str | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.web = web
+        self.robots = robots
+        self.images = images
+        self.cfg = config or CrawlConfig()
+        self.ckpt = RoundCheckpoint(checkpoint_dir) if checkpoint_dir else None
+        self.metrics: list[RoundMetrics] = []
+
+    # -------------------------------------------------------------- seeds
+
+    def seed_frontier(self, seeds: DataFrame) -> DataFrame:
+        """seeds: any DataFrame with a urim column; joined against the web
+        table for (urir, host, priority), depth 0."""
+        return (
+            seeds.select("urim")
+            .join(self.web.select("urim", "urir", "host", "priority"), "urim")
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovered_from", F.lit(None).cast("string"))
+        )
+
+    def empty_seen(self) -> DataFrame:
+        return self.spark.createDataFrame([], "surt string")
+
+    # -------------------------------------------------------------- round
+
+    def _not_seen(self, frontier: DataFrame, seen: DataFrame) -> DataFrame:
+        cand = frontier.withColumn("__surt", surt_key(F.col("urim")))
+        if self.cfg.use_bloom and not seen.isEmpty():
+            bloom = build_bloom(
+                seen, "surt", self.cfg.bloom_bits, self.cfg.bloom_hashes
+            )
+            flagged = bloom_might_contain(
+                cand, "__surt", bloom, self.cfg.bloom_bits, self.cfg.bloom_hashes
+            )
+            sure_new = flagged.where(~F.col("__in_bloom")).drop("__in_bloom")
+            maybe = flagged.where(F.col("__in_bloom")).drop("__in_bloom")
+            checked = maybe.join(
+                seen, maybe["__surt"] == seen["surt"], "left_anti"
+            )
+            return sure_new.unionByName(checked)
+        return cand.join(seen, cand["__surt"] == seen["surt"], "left_anti")
+
+    def _politeness_select(
+        self, allowed: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """→ (selected, deferred). Per-host budget window; the SQL-oracle-
+        checkable core of the scheduler (see entry_queries politeness
+        query)."""
+        w = Window.partitionBy("host").orderBy(
+            F.col("priority").desc(), F.col("urim").asc()
+        )
+        ranked = allowed.withColumn("__rn", F.row_number().over(w))
+        selected = ranked.where(F.col("__rn") <= self.cfg.per_host_budget).drop(
+            "__rn"
+        )
+        deferred = ranked.where(F.col("__rn") > self.cfg.per_host_budget).drop(
+            "__rn"
+        )
+        if self.cfg.salt_hot_hosts > 1:
+            # fetch-parallelism salting: spread a hot host's selected rows
+            # across salt_hot_hosts partitions; budget already enforced.
+            selected = selected.repartition(
+                F.pmod(
+                    F.xxhash64(F.col("urim")), F.lit(self.cfg.salt_hot_hosts)
+                ),
+                F.col("host"),
+            )
+        return selected, deferred
+
+    def _fetch(self, selected: DataFrame, rnd: int) -> DataFrame:
+        fetched = selected.join(
+            self.web.select(
+                "urim", "memento_datetime", "damage", "image_id", "outlinks"
+            ),
+            "urim",
+        )
+        if self.images is not None:
+            fetched = fetched.join(F.broadcast(self.images), "image_id", "left")
+        return (
+            fetched.withColumn("round", F.lit(rnd))
+            .withColumn("fetch_ts", F.current_timestamp())
+            .withColumn("http_status", F.lit(200))
+            .withColumn("partition_id", F.spark_partition_id())
+        )
+
+    def _extract_links(
+        self, fetched: DataFrame, seen: DataFrame, rnd: int
+    ) -> DataFrame:
+        links = (
+            fetched.select(
+                F.col("urim").alias("discovered_from"),
+                F.col("depth").alias("__pd"),
+                F.explode("outlinks").alias("urim"),
+            )
+            .where(F.col("__pd") + 1 <= self.cfg.max_depth)
+            .join(self.web.select("urim", "urir", "host", "priority"), "urim")
+            .withColumn("depth", (F.col("__pd") + 1).cast("int"))
+            .drop("__pd")
+        )
+        # collapse duplicate discoveries: max priority, min discoverer
+        links = (
+            links.withColumn("__surt", surt_key(F.col("urim")))
+            .groupBy("urim")
+            .agg(
+                F.first("urir").alias("urir"),
+                F.first("host").alias("host"),
+                F.max("priority").alias("priority"),
+                F.min("depth").alias("depth"),
+                F.min("discovered_from").alias("discovered_from"),
+                F.first("__surt").alias("__surt"),
+            )
+        )
+        # drop already-seen
+        links = links.join(seen, links["__surt"] == seen["surt"], "left_anti")
+        return links.drop("__surt")
+
+    def run(
+        self,
+        seeds: DataFrame,
+        resume: bool = False,
+    ) -> DataFrame:
+        """Run the crawl; returns the fetched-mementos table (all rounds).
+        With a checkpoint dir, each round persists frontier+seen+fetched and
+        ``resume=True`` continues from the latest complete round."""
+        spark = self.spark
+        start_round = 0
+        if resume and self.ckpt and self.ckpt.rounds():
+            start_round, frontier, seen = self.ckpt.read(spark)
+            start_round += 1
+        else:
+            frontier = self.seed_frontier(seeds)
+            seen = self.empty_seen()
+
+        fetched_parts: list[DataFrame] = []
+        for rnd in range(start_round, self.cfg.max_rounds):
+            m = RoundMetrics(round=rnd)
+            t0 = time.time()
+
+            cand = self._not_seen(frontier, seen)
+            m.candidates = cand.count()
+            m.timings["dedup"] = time.time() - t0
+            if m.candidates == 0:
+                break
+
+            t = time.time()
+            allowed = (
+                robots_gate(cand, self.robots, url="urir", host="host").drop(
+                    "crawl_delay"
+                )
+                if self.robots is not None
+                else cand
+            )
+            selected, deferred = self._politeness_select(allowed)
+            selected = selected.persist()
+            m.selected = selected.count()
+            m.timings["schedule"] = time.time() - t
+            if m.selected == 0:
+                break
+
+            t = time.time()
+            fetched = self._fetch(selected.drop("__surt"), rnd).persist()
+            fetched.count()
+            m.timings["fetch"] = time.time() - t
+
+            t = time.time()
+            new_seen = seen.unionByName(
+                selected.select(F.col("__surt").alias("surt"))
+            ).distinct()
+            links = self._extract_links(fetched, new_seen, rnd)
+            next_frontier = (
+                deferred.drop("__surt")
+                .unionByName(links)
+                .groupBy("urim")
+                .agg(
+                    F.first("urir").alias("urir"),
+                    F.first("host").alias("host"),
+                    F.max("priority").alias("priority"),
+                    F.min("depth").alias("depth"),
+                    F.min("discovered_from").alias("discovered_from"),
+                )
+            )
+            m.timings["links"] = time.time() - t
+
+            t = time.time()
+            if self.ckpt:
+                self.ckpt.write(
+                    rnd,
+                    next_frontier,
+                    new_seen,
+                    fetched,
+                    {
+                        "candidates": m.candidates,
+                        "selected": m.selected,
+                        "timings": m.timings,
+                    },
+                )
+                # re-read = lineage truncation (and exactly what resume sees)
+                _, frontier, seen = self.ckpt.read(spark, rnd)
+            else:
+                frontier = next_frontier.localCheckpoint()
+                seen = new_seen.localCheckpoint()
+            m.timings["checkpoint"] = time.time() - t
+            m.seen_size = seen.count()
+            m.new_links = 0
+            fetched_parts.append(fetched)
+            self.metrics.append(m)
+
+        if not fetched_parts:
+            return spark.createDataFrame([], FRONTIER_SCHEMA + ", round int")
+        out = fetched_parts[0]
+        for p in fetched_parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------ contract
+
+    def pop_order(self, fetched: DataFrame) -> list[str]:
+        """The crawl-order fidelity contract: global pop order =
+        (round asc, priority desc, urim asc)."""
+        return [
+            r["urim"]
+            for r in fetched.select("round", "priority", "urim")
+            .orderBy(F.col("round").asc(), F.col("priority").desc(), F.col("urim").asc())
+            .collect()
+        ]

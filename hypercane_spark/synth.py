@@ -272,3 +272,45 @@ def gen_politeness(budget: int = 4) -> list[dict]:
         {"host": f"host{h:02d}.example", "budget_per_round": budget}
         for h in range(HOSTS_N)
     ]
+
+
+def gen_link_graph(
+    n_urls: int = 600, seed: int = SEED, max_outlinks: int = 5, n_images: int = 200
+) -> list[dict]:
+    """Deterministic synthetic memento web for crawl tests.
+
+    One row per URI-M: (urim, urir, host, memento_datetime, damage,
+    priority, image_id, outlinks array<urim>). Hosts are Zipf-skewed (one
+    hot host) to force politeness/salting to matter. priority =
+    epoch/1e9 - damage (the north_star's recency+damage ordering), also
+    precomputed per row so engine and oracle share one number.
+    """
+    rng = random.Random(seed + 7)
+    urls = []
+    for i in range(n_urls):
+        h = _zipf_host(rng)
+        urir = f"http://host{h:02d}.example/page/{i}"
+        dt = _mdt(rng)
+        urls.append((urim_for(urir, dt), urir, f"host{h:02d}.example", dt))
+    rows = []
+    for i, (urim, urir, host, dt) in enumerate(urls):
+        n_out = rng.randint(0, max_outlinks)
+        outlinks = []
+        for _ in range(n_out):
+            j = rng.randrange(n_urls)
+            if j != i:
+                outlinks.append(urls[j][0])
+        damage = round(rng.random(), 4)
+        rows.append(
+            {
+                "urim": urim,
+                "urir": urir,
+                "host": host,
+                "memento_datetime": dt.replace(tzinfo=None),
+                "damage": damage,
+                "priority": round(dt.timestamp() / 1e9 - damage, 9),
+                "image_id": f"img-{(i * 2654435761) % n_images:08d}",
+                "outlinks": sorted(set(outlinks)),
+            }
+        )
+    return rows
