@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness for the driver and for scaling-evidence runs.
+
+Default mode: runs the headline SURVEY.md §2 queries at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), plus a crawl-frontier throughput
+job (the BASELINE.json metric is fetched mementos/sec), and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...,
+     "crawl": {"fetched": n, "wall_s": s, "mementos_per_sec": r, ...}}
+
+``--crawl-only`` runs only the crawl job (used by tools/bench_scaling.py to
+evidence the two-cluster-size criterion at local[8] vs local[32]).
+
+Query timings force full execution via the noop sink (no driver collect);
+each query is timed cold (fresh DataFrame lineage, shared SparkSession).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative subset of the 41 registry queries: every operator family
+# (sample, filter, cluster, score, order, agg/report, dedup, similarity,
+# text, crawl) is covered; the rest share the same physical patterns.
+HEADLINE = [
+    "sample_systematic",
+    "sample_stratified_random_det",
+    "filter_highest_score_per_cluster",
+    "filter_largest_clusters",
+    "cluster_time_slice",
+    "score_dsa1",
+    "score_bm25",
+    "order_memento_datetime",
+    "agg_terms_tfdf",
+    "agg_growth_curve",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "sim_topk_cosine",
+    "text_quality",
+    "crawl_politeness_round",
+    "crawl_seen_dedup",
+]
+
+CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
+CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "120"))
+
+
+def get_session(cpus: int):
+    from hypercane_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-local{cpus}",
+        master=f"local[{cpus},8]",
+        shuffle_partitions=cpus,
+    )
+
+
+def run_queries(spark) -> dict[str, float]:
+    from hypercane_spark.entry_queries import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def run_crawl(spark) -> dict:
+    """Crawl-frontier throughput: synthetic memento web (seed 42, Zipf-skewed
+    hosts), CrawlEngine over CRAWL_ROUNDS rounds; metric = fetched
+    mementos/sec of wall time (the BASELINE.json unit)."""
+    from pyspark.sql import functions as F
+
+    from hypercane_spark.streaming.frontier import CrawlConfig, CrawlEngine
+    from hypercane_spark.synth import gen_link_graph, gen_robots
+
+    web_schema = (
+        "urim string, urir string, host string, memento_datetime timestamp, "
+        "damage double, priority double, image_id string, outlinks array<string>"
+    )
+    cols = [c.split()[0] for c in web_schema.split(", ")]
+    rows = gen_link_graph(n_urls=CRAWL_N_URLS, max_outlinks=3)
+    web = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows], web_schema
+    ).persist()
+    web.count()
+    robots = spark.createDataFrame(
+        [(r["host"], r["disallow"], r["crawl_delay"]) for r in gen_robots()],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    seeds = web.select("urim").where(F.crc32(F.col("urim")) % 10 == 0)
+
+    eng = CrawlEngine(
+        spark,
+        web,
+        robots=robots,
+        config=CrawlConfig(
+            per_host_budget=CRAWL_BUDGET,
+            max_depth=CRAWL_ROUNDS,
+            max_rounds=CRAWL_ROUNDS,
+            salt_hot_hosts=4,
+        ),
+    )
+    t0 = time.time()
+    fetched = eng.run(eng.seed_frontier(seeds))
+    n_fetched = fetched.count()
+    wall = time.time() - t0
+    web.unpersist()
+    stage_timings: dict[str, float] = {}
+    for m in eng.metrics:
+        for k, v in m.timings.items():
+            stage_timings[k] = round(stage_timings.get(k, 0.0) + v, 3)
+    return {
+        "n_urls": CRAWL_N_URLS,
+        "rounds": len(eng.metrics),
+        "fetched": n_fetched,
+        "wall_s": round(wall, 3),
+        "mementos_per_sec": round(n_fetched / wall, 1),
+        "stage_s": stage_timings,
+    }
+
+
+def main() -> None:
+    crawl_only = "--crawl-only" in sys.argv
+    spark = get_session(CPUS)
+    try:
+        out: dict = {"sf": SF_DIR, "cores": CPUS}
+        t0 = time.time()
+        if not crawl_only:
+            out["queries"] = run_queries(spark)
+        out["crawl"] = run_crawl(spark)
+        total = round(time.time() - t0, 3)
+        out["metric"] = (
+            "crawl fetched mementos/sec"
+            if crawl_only
+            else "headline queries + crawl total wall time"
+        )
+        out["value"] = (
+            out["crawl"]["mementos_per_sec"] if crawl_only else total
+        )
+        out["unit"] = "mementos/sec" if crawl_only else "sec"
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,51 @@ def minhash_hex(tokens: Column, num_perm: int = 16) -> Column:
     )
 
 
+def minhash_band_keys(
+    tokens: Column, num_perm: int = 16, bands: int = 4
+) -> Column:
+    """array<string>[bands] LSH band keys in ONE pass over ``tokens``.
+
+    Produces exactly ``lsh_bands_hex(minhash_hex(tokens, num_perm), …)`` but
+    as a single ``F.aggregate``: the merge folds element-wise mins of the
+    per-permutation md5s, and the band keys are derived in the ``finish``
+    lambda where the signature is a *bound lambda variable*. That last part
+    is the point — Catalyst's CollapseProject inlines single-use projection
+    aliases, so composing ``minhash_hex``/``lsh_bands_hex`` through
+    ``select`` stages re-evaluates the whole shingle+md5 tree once per
+    permutation reference (16×) and once per band (4×): measured 228 s vs
+    ~2 s for 5 000 docs on local[32]. A lambda-bound accumulator cannot be
+    inlined, so this form evaluates the expensive subtree exactly once per
+    row no matter how the optimizer rewrites the plan."""
+    rows_per_band = num_perm // bands
+    init = F.array_repeat(F.lit("z" * 32), num_perm)
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+
+    def merge(acc: Column, t: Column) -> Column:
+        hashes = F.transform(
+            perms,
+            lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), t)),
+        )
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    def finish(sig: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat(
+                    b.cast("string"),
+                    F.lit("|"),
+                    F.array_join(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        ",",
+                    ),
+                )
+            ),
+        )
+
+    return F.aggregate(tokens, init, merge, finish)
+
+
 def lsh_bands_hex(signature: Column, bands: int, rows_per_band: int) -> Column:
     """array<string>[bands] of band keys: md5 of the concatenated slice of the
     signature, prefixed with the band id so buckets never collide across

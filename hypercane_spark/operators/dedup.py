@@ -20,10 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hypercane_spark.sources.io import with_min_parallelism
 from hypercane_spark.functions.hashes import (
     hamming64,
-    lsh_bands_hex,
-    minhash_hex,
+    minhash_band_keys,
     simhash64,
     tokens_ws,
 )
@@ -80,12 +80,17 @@ def minhash_lsh_candidates(
     self-join on the band bucket. Rows only meet within a bucket: the join
     key is (band hash), so shuffle volume is O(rows·bands), never O(rows²).
     At 100 TB add a bucket-size cap (drop degenerate buckets) — see
-    ``max_bucket`` below (count-window, default off)."""
-    rows_per_band = num_perm // bands
-    sig = minhash_hex(shingles(text, shingle_n), num_perm)
+    ``max_bucket`` below (count-window, default off).
+
+    Band keys come from the one-pass ``minhash_band_keys`` aggregate —
+    composing minhash/bands through projections lets CollapseProject
+    re-evaluate the shingle+md5 tree 16–64× per row (see hashes.py)."""
+    df = with_min_parallelism(df)
     banded = df.select(
         F.col(key).alias("k"),
-        F.explode(lsh_bands_hex(sig, bands, rows_per_band)).alias("band"),
+        F.explode(
+            minhash_band_keys(shingles(text, shingle_n), num_perm, bands)
+        ).alias("band"),
     ).distinct()
     a = banded.alias("a")
     b = banded.alias("b")
@@ -111,11 +116,11 @@ def minhash_dedup(
     Greedy bucket-representative semantics (standard web-scale dedup): a
     row survives iff it is the min key in *every* band bucket it occupies.
     One aggregation per band — no pairwise joins at all."""
-    rows_per_band = num_perm // bands
-    sig = minhash_hex(shingles(text, shingle_n), num_perm)
-    banded = df.select(
+    banded = with_min_parallelism(df).select(
         F.col(key).alias("__k"),
-        F.explode(lsh_bands_hex(sig, bands, rows_per_band)).alias("__band"),
+        F.explode(
+            minhash_band_keys(shingles(text, shingle_n), num_perm, bands)
+        ).alias("__band"),
     )
     w = Window.partitionBy("__band")
     survivors = (
@@ -143,7 +148,7 @@ def simhash_dedup(
     if n_bands <= max_hamming:
         raise ValueError("need more bands than max_hamming for pigeonhole")
     sh = simhash64(text)
-    work = df.select(F.col(key).alias("k"), sh.alias("sh"))
+    work = with_min_parallelism(df).select(F.col(key).alias("k"), sh.alias("sh"))
     chunks = F.array(
         *[
             F.concat(
@@ -183,7 +188,7 @@ def ngram_jaccard_pairs(
     minhash_lsh_candidates to *generate* blocks and this to verify. Output:
     (key_a, key_b, jaccard)."""
     blk = block if block is not None else F.element_at(tokens_ws(text), 1)
-    work = df.select(
+    work = with_min_parallelism(df).select(
         F.col(key).alias("k"),
         blk.alias("blk"),
         F.array_distinct(shingles(text, shingle_n)).alias("sh"),

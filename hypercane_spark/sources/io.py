@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 from hypercane_spark.functions.urls import surt_key
 
 
+def with_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the plan has fewer partitions than the cluster's
+    default parallelism. A small single-file input otherwise pins every
+    downstream narrow (map-side) transformation — e.g. a per-row md5/simhash
+    expression tree — to ONE task no matter how many cores exist. At real
+    scale the scan already yields ≥ parallelism splits and this is a no-op,
+    so compute-heavy operators can call it unconditionally."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_tsv_resource(
     spark: SparkSession, path: str, key_field: str = "URI-M"
 ) -> DataFrame:
