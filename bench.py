@@ -56,6 +56,7 @@ HEADLINE = [
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
 CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "120"))
+IMG_N = int(os.environ.get("SPARK_GRAFT_CRAWL_IMAGES", "1000"))
 
 
 def get_session(cpus: int):
@@ -87,39 +88,63 @@ def run_crawl(spark) -> dict:
     from pyspark.sql import functions as F
 
     from hypercane_spark.streaming.frontier import CrawlConfig, CrawlEngine
-    from hypercane_spark.synth import gen_link_graph, gen_robots
+    from hypercane_spark.synth import gen_images, gen_link_graph, gen_robots
 
     web_schema = (
         "urim string, urir string, host string, memento_datetime timestamp, "
         "damage double, priority double, image_id string, outlinks array<string>"
     )
     cols = [c.split()[0] for c in web_schema.split(", ")]
-    rows = gen_link_graph(n_urls=CRAWL_N_URLS, max_outlinks=3)
+    rows = gen_link_graph(n_urls=CRAWL_N_URLS, max_outlinks=3, n_images=IMG_N)
+    par = spark.sparkContext.defaultParallelism
+    # pre-partitioned on the join key: every per-round join (seed, fetch,
+    # link-resolve) reuses this distribution — only the small per-round
+    # side shuffles (the 100 TB story: a bucketed Iceberg web table).
     web = spark.createDataFrame(
         [tuple(r[c] for c in cols) for r in rows], web_schema
-    ).persist()
+    ).repartition(par, "urim").persist()
     web.count()
     robots = spark.createDataFrame(
         [(r["host"], r["disallow"], r["crawl_delay"]) for r in gen_robots()],
         "host string, disallow array<string>, crawl_delay double",
     )
+    img_rows = gen_images(n=IMG_N)
+    img_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    images = spark.createDataFrame(
+        [tuple(r[c] for c in img_cols) for r in img_rows],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    ).repartition(par, "image_id").persist()
+    images.count()
     seeds = web.select("urim").where(F.crc32(F.col("urim")) % 10 == 0)
 
     eng = CrawlEngine(
         spark,
         web,
         robots=robots,
+        images=images,
         config=CrawlConfig(
             per_host_budget=CRAWL_BUDGET,
             max_depth=CRAWL_ROUNDS,
             max_rounds=CRAWL_ROUNDS,
             salt_hot_hosts=4,
+            verify_payload=True,
+            collect_metrics=False,
         ),
     )
     t0 = time.time()
     fetched = eng.run(eng.seed_frontier(seeds))
-    n_fetched = fetched.count()
+    agg = fetched.agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("phash_ok").cast("int")).alias("phash_ok_rate"),
+        F.min("psnr_db").alias("min_psnr_db"),
+    ).collect()[0]
+    n_fetched = agg["n"]
     wall = time.time() - t0
+    fidelity = {
+        "phash_ok_rate": float(agg["phash_ok_rate"] or 0.0),
+        "min_psnr_db": round(min(float(agg["min_psnr_db"] or 0.0), 1e9), 2),
+    }
     web.unpersist()
     stage_timings: dict[str, float] = {}
     for m in eng.metrics:
@@ -131,6 +156,7 @@ def run_crawl(spark) -> dict:
         "fetched": n_fetched,
         "wall_s": round(wall, 3),
         "mementos_per_sec": round(n_fetched / wall, 1),
+        "fidelity": fidelity,
         "stage_s": stage_timings,
     }
 

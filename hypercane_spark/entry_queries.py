@@ -875,14 +875,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_simhash", None)  # xxhash64 not available in the SQL oracle
+# md5-derived simhash (functions/hashes.py:simhash64_md5): hi 32 bits from
+# hex chars 17-24, lo from 25-32; ±1 votes per bit; bit63 weighted -2^63 so
+# the vote sum IS the signed-64 value. Validated token-for-token against
+# oracle/simhash.py:py_simhash64_md5.
+_SIMHASH_MD5_SQL = f"""
+CAST(coalesce(list_sum(list_transform(range(0,64), i ->
+  CASE WHEN coalesce(list_sum(list_transform({_TOKS_SQL}, t ->
+      CASE WHEN ((('0x'||substr(md5(t), CASE WHEN i<32 THEN 25 ELSE 17 END, 8))::BIGINT
+                 >> (i%32)) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+  THEN CASE WHEN i=63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << i) END
+  ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+"""
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS k, {_SIMHASH_MD5_SQL} AS sh FROM documents
+    ),
+    banded AS (
+      SELECT k, sh, unnest([
+        '0:' || CAST(sh & 65535 AS VARCHAR),
+        '1:' || CAST((sh >> 16) & 65535 AS VARCHAR),
+        '2:' || CAST((sh >> 32) & 65535 AS VARCHAR),
+        '3:' || CAST((sh >> 48) & 65535 AS VARCHAR)]) AS band
+      FROM t
+    ),
+    losers AS (
+      SELECT DISTINCT b.k AS loser
+      FROM banded a JOIN banded b USING (band)
+      WHERE a.k < b.k AND bit_count(xor(a.sh, b.sh)) <= 3
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT loser FROM losers)
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.operators.dedup import simhash_dedup
 
     d = _docs(spark, sf_dir)
-    return simhash_dedup(d, text="text", key="doc_id", max_hamming=3).select(
-        "doc_id"
-    )
+    return simhash_dedup(
+        d, text="text", key="doc_id", max_hamming=3, use_md5_hash=True
+    ).select("doc_id")
 
 
 # ============================================================== similarity
@@ -915,7 +951,40 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, qv, k=10, vec="embedding", key="vec_id")
 
 
-@q("sim_lsh_topk", None)  # hyperplanes are numpy-seeded; no SQL oracle
+# The LSH hyperplanes are deterministic driver-side constants
+# (numpy RandomState(42), dim=64, bits=8) — so the SQL oracle embeds the
+# EXACT same float literals and reproduces every bucket bit. The probe set
+# "query bucket ± 1 flipped bit" is bit_count(xor(bucket, qbucket)) <= 1.
+def _sim_lsh_sql() -> str:
+    from hypercane_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lits = "[" + ",".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {lits}) > 0 "
+                f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT {bucket_expr('qv')} AS qbucket, qv FROM qq),
+    cand AS (
+      SELECT vec_id, embedding AS a, qv
+      FROM (SELECT vec_id, embedding, {bucket_expr('embedding')} AS b
+            FROM embeddings), qb
+      WHERE bit_count(xor(b, qbucket)) <= 1
+    ),
+    s AS (SELECT vec_id, {_COSINE_SQL} AS cosine FROM cand)
+    SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+
+@q("sim_lsh_topk", _sim_lsh_sql())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.operators.similarity import lsh_bucket_topk
 

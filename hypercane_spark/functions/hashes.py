@@ -70,13 +70,10 @@ def _bit_votes(hashes: Column) -> Column:
     )
 
 
-def simhash_of_tokens(tokens: Column) -> Column:
-    """64-bit simhash of an array<string> of tokens (signed long repr).
-
-    Bit 63 contributes -2^63 so the sum of independent bit weights is the
-    exact two's-complement signed value — no overflow under ANSI mode."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    votes = _bit_votes(hashes)
+def _votes_to_signed(votes: Column) -> Column:
+    """array<long>[64] of votes → signed-64 simhash value (bit i set iff
+    votes[i] > 0; bit 63 contributes -2^63 so the plain sum IS the exact
+    two's-complement value — no overflow under ANSI mode)."""
     zero = F.lit(0).cast("long")
     # NB: `votes` must be referenced exactly once — each Column reference
     # clones its whole expression subtree, and 64 clones of a 64-wide
@@ -90,6 +87,58 @@ def simhash_of_tokens(tokens: Column) -> Column:
         votes, weights, lambda v, w: F.when(v > 0, w).otherwise(zero)
     )
     return F.aggregate(weighted, zero, lambda a, b: a + b)
+
+
+def simhash_of_tokens(tokens: Column) -> Column:
+    """64-bit simhash of an array<string> of tokens (signed long repr)."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return _votes_to_signed(_bit_votes(hashes))
+
+
+def simhash64_md5(text: Column | str) -> Column:
+    """Raw simhash whose per-token 64-bit hash derives from md5 instead of
+    xxhash64: hi 32 bits = hex chars 17-24, lo 32 bits = chars 25-32 (both
+    big-endian). Same vote/threshold semantics as ``simhash64``; exists so
+    an md5-capable ANSI-SQL oracle (DuckDB: ('0x'||substr(md5(t),…,8))::
+    BIGINT) can replicate the value bit-for-bit — the correctness gate for
+    simhash dedup rides on it.
+
+    The hi/lo pair is bound through a single-element transform lambda so
+    the md5 subtree is evaluated once per half, not once per bit."""
+    toks = tokens_ws(text)
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    one = F.lit(1).cast("long")
+    neg = F.lit(-1).cast("long")
+
+    def merge(acc: Column, t: Column) -> Column:
+        h = F.md5(t)
+        pair = F.array(
+            F.struct(
+                F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("hi"),
+                F.conv(F.substring(h, 25, 8), 16, 10).cast("long").alias("lo"),
+            )
+        )
+        bits = F.element_at(
+            F.transform(
+                pair,
+                lambda s: F.array(
+                    *[
+                        F.when(
+                            F.shiftright(
+                                s["lo"] if i < 32 else s["hi"], i % 32
+                            ).bitwiseAND(one)
+                            == one,
+                            one,
+                        ).otherwise(neg)
+                        for i in range(64)
+                    ]
+                ),
+            ),
+            1,
+        )
+        return F.zip_with(acc, bits, lambda a, b: a + b)
+
+    return _votes_to_signed(F.aggregate(toks, zero64, merge))
 
 
 def simhash64(text: Column | str) -> Column:

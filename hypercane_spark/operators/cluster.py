@@ -345,6 +345,7 @@ def lda_topics(
     reference's gensim is single-process."""
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.functions import vector_to_array
 
     toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda x: x != F.lit(""))
     work = df.withColumn("__tokens", toks)
@@ -361,9 +362,43 @@ def lda_topics(
         "array_position(topicDistribution_arr, array_max(topicDistribution_arr)) - 1"
     )
     scored = scored.withColumn(
-        "topicDistribution_arr", F.expr("vector_to_array(topicDistribution)")
+        "topicDistribution_arr", vector_to_array(F.col("topicDistribution"))
     ).withColumn("__new", argmax.cast("long"))
     out = _compose(scored, F.col("__new"), cluster=cluster)
     return out.drop(
         "__tokens", "__features", "topicDistribution", "topicDistribution_arr", "__new"
     )
+
+
+def dbscan_tfidf(
+    df: DataFrame,
+    eps: float = 1.3,
+    min_samples: int = 2,
+    text: str = "bpfree_text",
+    cluster: str = "cluster",
+) -> DataFrame:
+    """Per existing cluster: DBSCAN over dense TF-IDF rows with euclidean
+    distance (reference /root/reference/hypercane/cluster/dbscan.py:203-309;
+    DSA3 uses eps=1.3 — packaged_algorithms/dsa3.halg). Noise rows get
+    label -1, which DSA3 then drops.
+
+    Per-group applyInPandas like the other parity clusterers: the distance
+    matrix is O(group²), bounded by the largest prior cluster, and groups
+    fit in parallel. The global-scale alternative is LSH-bucketed density
+    clustering over sparse vectors."""
+    has_prior = cluster in df.columns
+    grouping = F.col(cluster) if has_prior else F.lit("")
+    work = df.withColumn("__grp", F.coalesce(grouping.cast("string"), F.lit("")))
+    schema = work.withColumn("__new", F.lit(0).cast("long")).schema
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _tfidf_matrix(pdf[text])
+        d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        pdf = pdf.copy()
+        pdf["__new"] = _dbscan(dist, eps, min_samples)
+        return pdf
+
+    out = work.groupBy("__grp").applyInPandas(fit, schema=schema)
+    out = _compose(out, F.col("__new"), cluster=cluster)
+    return out.drop("__grp", "__new")

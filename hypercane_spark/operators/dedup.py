@@ -139,15 +139,22 @@ def simhash_dedup(
     key: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 16,
+    use_md5_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit simhash, banded into 64/band_bits chunks
     (pigeonhole: two hashes within max_hamming share ≥1 exact chunk when
     chunks > max_hamming), bucket-join candidates, verify with true hamming,
-    keep min key per connected pair (greedy)."""
+    keep min key per connected pair (greedy).
+
+    ``use_md5_hash`` swaps the token hash family from xxhash64 to md5
+    (functions/hashes.py:simhash64_md5) so an ANSI-SQL oracle can replicate
+    every value — the correctness gate's dedup_simhash query uses it."""
     n_bands = 64 // band_bits
     if n_bands <= max_hamming:
         raise ValueError("need more bands than max_hamming for pigeonhole")
-    sh = simhash64(text)
+    from hypercane_spark.functions.hashes import simhash64_md5
+
+    sh = simhash64_md5(text) if use_md5_hash else simhash64(text)
     work = with_min_parallelism(df).select(F.col(key).alias("k"), sh.alias("sh"))
     chunks = F.array(
         *[

@@ -96,6 +96,48 @@ def resize_images(
     return df.select(*keep, bytes_col).mapInPandas(batches, schema=out_schema)
 
 
+def payload_verify_udf():
+    """Scalar Arrow-batched UDF implementing the input_hint per-row fidelity
+    contract: decode pixels, recompute the 64-bit average phash against the
+    stored one, and measure PSNR of the decoded pixels against the
+    ground-truth pixel source (regenerated deterministically from image_id —
+    the stand-in for "the reference fetch"; lossless formats must be exact,
+    lossy must reach ≥ 40 dB). Returns struct<phash_ok:boolean,
+    psnr_db:double> with 1e9 standing in for +inf.
+
+    Being a scalar pandas UDF (not mapInPandas), it rides on the fetched
+    rows in place — no extra shuffle or join to re-attach the columns."""
+    from hypercane_spark.synth import (
+        SEED,
+        average_phash,
+        decode_image,
+        psnr,
+    )
+
+    @F.pandas_udf("phash_ok boolean, psnr_db double")
+    def verify(
+        image_id: pd.Series, data: pd.Series, phash: pd.Series
+    ) -> pd.DataFrame:
+        oks, psnrs = [], []
+        for iid, b, p in zip(image_id, data, phash):
+            if b is None:
+                oks.append(None)
+                psnrs.append(None)
+                continue
+            px = decode_image(bytes(b))
+            oks.append(average_phash(px) == p)
+            i = int(str(iid).rsplit("-", 1)[-1])
+            truth = (
+                np.random.RandomState(SEED + i)
+                .randint(0, 256, size=px.shape, dtype=np.int64)
+                .astype(np.uint8)
+            )
+            psnrs.append(min(psnr(truth, px), 1e9))
+        return pd.DataFrame({"phash_ok": oks, "psnr_db": psnrs})
+
+    return verify
+
+
 def frame_sample(
     df: DataFrame,
     every_n: int = 10,

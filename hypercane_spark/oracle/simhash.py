@@ -104,3 +104,21 @@ def py_simhash64(text: str) -> int:
 
 def py_tf_simhash64(text: str) -> int:
     return simhash_of_tokens(sorted(_tokens(text)))
+
+
+def py_simhash64_md5(text: str) -> int:
+    """Pure-Python mirror of functions/hashes.py:simhash64_md5."""
+    import hashlib
+
+    votes = [0] * 64
+    for t in _tokens(text):
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        hi = int(h[16:24], 16)
+        lo = int(h[24:32], 16)
+        for i in range(64):
+            b = (lo >> i) & 1 if i < 32 else (hi >> (i - 32)) & 1
+            votes[i] += 1 if b else -1
+    v = sum((1 << i) for i in range(63) if votes[i] > 0)
+    if votes[63] > 0:
+        v -= 1 << 63
+    return v

@@ -61,6 +61,8 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20
     bloom_hashes: int = 5
     use_bloom: bool = True
+    verify_payload: bool = False  # phash/PSNR fidelity check at fetch time
+    collect_metrics: bool = True  # False drops optional per-round counts
 
 
 @dataclass
@@ -136,10 +138,43 @@ class CrawlEngine:
     ) -> tuple[DataFrame, DataFrame]:
         """→ (selected, deferred). Per-host budget window; the SQL-oracle-
         checkable core of the scheduler (see entry_queries politeness
-        query)."""
+        query).
+
+        Skew: a Zipf-hot host can hold a large share of the frontier, and a
+        single ``partitionBy(host)`` window serializes that whole host into
+        one task (measured: the hottest synthetic host carries ~28% of rows
+        → the window stage's wall time is flat in the core count). With
+        ``salt_hot_hosts > 1`` selection runs as an exact two-phase top-k:
+        phase 1 ranks within (host, salt=hash(urim)%S) partitions and keeps
+        only ``budget`` rows per salted queue — parallel across salts —
+        so phase 2's authoritative per-host window sees ≤ budget·S rows per
+        host instead of the full queue. Same selected set, same order:
+        any row in the true per-host top-budget is in its salt's top-budget.
+        Deferred rows (beyond budget) skip phase 1 by construction — they
+        are recovered by anti-joining selected against allowed."""
         w = Window.partitionBy("host").orderBy(
             F.col("priority").desc(), F.col("urim").asc()
         )
+        if self.cfg.salt_hot_hosts > 1:
+            salt = F.pmod(F.xxhash64(F.col("urim")), F.lit(self.cfg.salt_hot_hosts))
+            w1 = Window.partitionBy("host", "__salt").orderBy(
+                F.col("priority").desc(), F.col("urim").asc()
+            )
+            pruned = (
+                allowed.withColumn("__salt", salt)
+                .withColumn("__rn1", F.row_number().over(w1))
+                .where(F.col("__rn1") <= self.cfg.per_host_budget)
+                .drop("__rn1", "__salt")
+            )
+            selected = (
+                pruned.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= self.cfg.per_host_budget)
+                .drop("__rn")
+            )
+            deferred = allowed.join(
+                selected.select("urim"), on="urim", how="left_anti"
+            )
+            return selected, deferred
         ranked = allowed.withColumn("__rn", F.row_number().over(w))
         selected = ranked.where(F.col("__rn") <= self.cfg.per_host_budget).drop(
             "__rn"
@@ -147,15 +182,6 @@ class CrawlEngine:
         deferred = ranked.where(F.col("__rn") > self.cfg.per_host_budget).drop(
             "__rn"
         )
-        if self.cfg.salt_hot_hosts > 1:
-            # fetch-parallelism salting: spread a hot host's selected rows
-            # across salt_hot_hosts partitions; budget already enforced.
-            selected = selected.repartition(
-                F.pmod(
-                    F.xxhash64(F.col("urim")), F.lit(self.cfg.salt_hot_hosts)
-                ),
-                F.col("host"),
-            )
         return selected, deferred
 
     def _fetch(self, selected: DataFrame, rnd: int) -> DataFrame:
@@ -166,7 +192,26 @@ class CrawlEngine:
             "urim",
         )
         if self.images is not None:
-            fetched = fetched.join(F.broadcast(self.images), "image_id", "left")
+            # NOT broadcast: the payload dim carries image bytes (tens of MB
+            # per 1k images at sandbox scale, unbounded at 10^10), and a
+            # broadcast would be rebuilt from the driver EVERY round. A
+            # shuffle join touches only this round's selected rows; callers
+            # that persist images pre-partitioned by image_id (bench does)
+            # pay no images-side shuffle at all.
+            fetched = fetched.join(self.images, "image_id", "left")
+            if self.cfg.verify_payload:
+                # input_hint per-row fidelity, computed in the fetch stage
+                # itself (Arrow-batched, rides the fetched rows in place)
+                from hypercane_spark.operators.multimodal import (
+                    payload_verify_udf,
+                )
+
+                v = payload_verify_udf()(
+                    F.col("image_id"), F.col("bytes"), F.col("phash")
+                )
+                fetched = fetched.withColumn("__v", v).select(
+                    "*", "__v.phash_ok", "__v.psnr_db"
+                ).drop("__v")
         return (
             fetched.withColumn("round", F.lit(rnd))
             .withColumn("fetch_ts", F.current_timestamp())
@@ -227,11 +272,15 @@ class CrawlEngine:
             m = RoundMetrics(round=rnd)
             t0 = time.time()
 
+            # The seen-dedup is left lazy: its work folds into the
+            # schedule/fetch jobs below. selected == 0 subsumes the
+            # candidates == 0 stop (selected ⊆ candidates, and a nonzero
+            # robots-allowed set always selects ≥ 1 under budget ≥ 1), so
+            # no separate count action is needed per round.
             cand = self._not_seen(frontier, seen)
-            m.candidates = cand.count()
+            if self.cfg.collect_metrics:
+                m.candidates = cand.count()
             m.timings["dedup"] = time.time() - t0
-            if m.candidates == 0:
-                break
 
             t = time.time()
             allowed = (
@@ -291,7 +340,8 @@ class CrawlEngine:
                 frontier = next_frontier.localCheckpoint()
                 seen = new_seen.localCheckpoint()
             m.timings["checkpoint"] = time.time() - t
-            m.seen_size = seen.count()
+            if self.cfg.collect_metrics:
+                m.seen_size = seen.count()
             m.new_links = 0
             fetched_parts.append(fetched)
             self.metrics.append(m)

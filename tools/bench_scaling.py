@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.md measurement protocol).
+
+The north_rule's N → 4N-executor criterion cannot use a real cluster in this
+sandbox; per driver instruction it is evidenced by running the SAME crawl
+job on the SAME input at two local parallelism levels and reporting
+throughput at both plus scaling efficiency:
+
+    efficiency = (throughput_4N / throughput_N) / 4        (target ≥ 0.8)
+
+Runs ``bench.py --crawl-only`` in fresh subprocesses (fresh JVM each, so
+neither run warms the other) at local[8] and local[32], prints one JSON
+line, and rewrites the "## Measured scaling" section of BENCH.md.
+
+Usage: python tools/bench_scaling.py [--low 8] [--high 32]
+Knobs via env: SPARK_GRAFT_CRAWL_URLS / _ROUNDS / _BUDGET / _IMAGES.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, env_extra: dict[str, str]) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **env_extra)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"bench.py failed at local[{cpus}]")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+    factor = args.high / args.low
+
+    env_extra = {}
+    lo = run_at(args.low, env_extra)
+    hi = run_at(args.high, env_extra)
+    tp_lo = lo["crawl"]["mementos_per_sec"]
+    tp_hi = hi["crawl"]["mementos_per_sec"]
+    eff = (tp_hi / tp_lo) / factor
+    report = {
+        "metric": "crawl scaling efficiency",
+        "value": round(eff, 3),
+        "unit": f"(tp@local[{args.high}] / tp@local[{args.low}]) / {factor:g}",
+        "low": {"cores": args.low, "mementos_per_sec": tp_lo,
+                "wall_s": lo["crawl"]["wall_s"], "stage_s": lo["crawl"]["stage_s"]},
+        "high": {"cores": args.high, "mementos_per_sec": tp_hi,
+                 "wall_s": hi["crawl"]["wall_s"], "stage_s": hi["crawl"]["stage_s"]},
+        "fetched": hi["crawl"]["fetched"],
+        "n_urls": hi["crawl"]["n_urls"],
+        "fidelity": hi["crawl"]["fidelity"],
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    md_path = os.path.join(REPO, "BENCH.md")
+    marker = "## Measured scaling"
+    section = f"""{marker}
+
+Same crawl job, same deterministic input (seed 42,
+{report['n_urls']} URLs, payload verify on), fresh JVM per run —
+`python tools/bench_scaling.py --low {args.low} --high {args.high}`:
+
+| config | fetched mementos/sec | wall s |
+|---|---|---|
+| `local[{args.low}]` (N) | {tp_lo} | {lo['crawl']['wall_s']} |
+| `local[{args.high}]` (4N) | {tp_hi} | {hi['crawl']['wall_s']} |
+
+**Scaling efficiency = (tp_4N / tp_N) / {factor:g} = {eff:.3f}**
+(target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Per-row fidelity over all fetched rows of the `local[{args.high}]` run:
+phash match rate = {report['fidelity']['phash_ok_rate']:.4f},
+min PSNR = {report['fidelity']['min_psnr_db']} dB (≥ 40 dB required for
+lossy formats; lossless rows report the 1e9 sentinel).
+
+Stage wall-times (`local[{args.high}]`, summed over rounds):
+`{json.dumps(hi['crawl']['stage_s'])}`
+"""
+    if os.path.exists(md_path):
+        text = open(md_path).read()
+        if marker in text:
+            text = text[: text.index(marker)] + section
+        else:
+            text = text + "\n" + section
+    else:
+        text = "# BENCH — measured results\n\n" + section
+    open(md_path, "w").write(text)
+
+
+if __name__ == "__main__":
+    main()
