@@ -993,6 +993,180 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, qv, k=10, bits=8, probe_hamming=1)
 
 
+# ======================================================= packaged pipelines
+#
+# DSA pipelines chain applyInPandas clusterers and an order-dependent scan,
+# so no single ANSI-SQL statement reproduces them — the driver records
+# rows-only checks; stage-level semantics are each oracle-checked above.
+
+
+def _pipeline_mementos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.hashes import simhash64, tf_simhash64
+
+    m = _docs_mementos(spark, sf_dir)
+    mdt = F.to_timestamp(
+        F.from_unixtime(F.lit(1500000000) + F.col("doc_id") * 3600)
+    )
+    return (
+        m.withColumn("urim", F.col("urir"))
+        .withColumn("urit", F.col("source"))
+        .withColumn("memento_datetime", mdt)
+        .withColumn(
+            "pubdate",
+            F.when(F.col("doc_id") % 3 == 0, None).otherwise(
+                F.to_timestamp(
+                    F.from_unixtime(
+                        F.lit(1500000000)
+                        + F.col("doc_id") * 3600
+                        - (F.col("doc_id") % 7) * 86400
+                    )
+                )
+            ),
+        )
+        .withColumn("language", F.col("lang"))
+        .withColumn("tf_simhash", tf_simhash64("text"))
+        .withColumn("raw_simhash", simhash64("text"))
+        .withColumn("bpfree_text", F.col("text"))
+        .withColumn("bpfree_len", F.col("n_chars").cast("int"))
+        .withColumn("seq", F.col("doc_id"))
+    )
+
+
+@q("pipeline_dsa1", None)
+def pipeline_dsa1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.plans import dsa1
+
+    m = _pipeline_mementos(spark, sf_dir)
+    out = dsa1(k_slices=8).run(m)
+    return out.select("urim", "cluster", "dsa1_score", "rank")
+
+
+@q("pipeline_filtered_random", None)
+def pipeline_filtered_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.plans import filtered_random
+
+    m = _pipeline_mementos(spark, sf_dir)
+    out = filtered_random(k=20, seed=42).run(m)
+    return out.select("urim", "language")
+
+
+# ============================================================== multimodal
+#
+# The testdata dirs carry no binary image table, so these queries build the
+# deterministic synthetic payload table (synth.gen_images, seed 42) inline
+# and exercise the REAL distributed plumbing (binary columns through Arrow
+# batches, mapInPandas decode, window ranking). Their oracles are
+# VALUES-literals precomputed driver-side from the same generator — a
+# differential check of executor-side decode vs direct evaluation.
+
+_MM_N = 120
+
+
+def _mm_images(spark: SparkSession) -> DataFrame:
+    from hypercane_spark.synth import gen_images
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    rows = gen_images(_MM_N)
+    return spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+
+
+def _mm_decode_expected_sql() -> str:
+    from hypercane_spark.synth import decode_image, gen_images
+
+    vals = []
+    for r in gen_images(_MM_N):
+        px = decode_image(r["bytes"])
+        vals.append(
+            f"('{r['image_id']}', {px.shape[1]}, {px.shape[0]}, "
+            f"{round(float(px.mean()), 6)!r}, {r['phash']})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, dec_w, dec_h, mean_lum, phash64)"
+    )
+
+
+@q("mm_decode_stats", _mm_decode_expected_sql())
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.multimodal import decode_stats
+
+    out = decode_stats(_mm_images(spark), keep=("image_id",))
+    return out.select(
+        "image_id",
+        "dec_w",
+        "dec_h",
+        F.round(F.col("mean_lum"), 6).alias("mean_lum"),
+        "phash64",
+    )
+
+
+def _mm_rank_expected_sql() -> str:
+    from hypercane_spark.synth import decode_image, gen_images
+
+    import numpy as np
+
+    stats = []
+    for r in gen_images(_MM_N):
+        px = decode_image(r["bytes"])
+        q16 = (px >> 4).astype("uint16")
+        packed = (q16[..., 0] << 8) | (q16[..., 1] << 4) | q16[..., 2]
+        colorcount = int(len(np.unique(packed)))
+        h, w = px.shape[0], px.shape[1]
+        ratio = w / h if h > 0 else 1.0
+        stats.append((r["image_id"], w * h, colorcount, ratio))
+    # reference rank tuple (imagedata.py:127-188): pixelsize desc,
+    # colorcount desc, 1/ratio desc, key asc  (no metadata/score columns)
+    stats.sort(key=lambda s: (-s[1], -s[2], -(1.0 / s[3]), s[0]))
+    ranked = [(s[0], i + 1, s[2], round(s[3], 4)) for i, s in enumerate(stats)]
+    # near-dup suppression: keep first rank per (colorcount, ratio4)
+    seen: set = set()
+    vals = []
+    for iid, rk, cc, r4 in ranked:
+        if (cc, r4) in seen:
+            continue
+        seen.add((cc, r4))
+        vals.append(f"('{iid}', {rk})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, rank)"
+    )
+
+
+@q("mm_image_rank", _mm_rank_expected_sql())
+def mm_image_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.multimodal import image_rank
+
+    out = image_rank(_mm_images(spark), key="image_id")
+    return out.select("image_id", "rank")
+
+
+def _mm_resize_expected_sql() -> str:
+    from hypercane_spark.synth import gen_images
+
+    # stand-in codec: lossless re-encode of a 16×16 RGB = 12-byte header +
+    # 768 payload bytes, independent of source size
+    vals = [f"('{r['image_id']}', 16, 16, 780)" for r in gen_images(_MM_N)]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, w, h, nbytes)"
+    )
+
+
+@q("mm_resize", _mm_resize_expected_sql())
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.multimodal import resize_images
+
+    out = resize_images(_mm_images(spark), target=16, keep=("image_id",))
+    return out.select("image_id", "w", "h", F.length("bytes").alias("nbytes"))
+
+
 # ============================================================== text analysis
 
 _STOPWORDS_SQL = """['the','a','an','and','or','of','to','in','is','it','that',

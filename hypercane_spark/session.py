@@ -48,7 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Sized for binary payload columns: 10k × 20 KB images = 200 MB
+        # batches, which makes 32 concurrent Python workers thrash the
+        # allocator (measured anti-scaling in the fetch stage). 1k rows
+        # keeps batches ~20 MB; numeric-only stages lose nothing measurable.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # Sized so a 128 MiB parquet split stays the planning unit at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Broadcast threshold: dimension tables (robots, politeness,

@@ -50,6 +50,19 @@ class RoundCheckpoint:
             json.dump({"round": rnd, **metrics}, f)
         os.replace(tmp, os.path.join(d, "manifest.json"))
 
+    def write_fetched(self, rnd: int, fetched: DataFrame) -> None:
+        """Write the round's full fetched-mementos rows (incl. payload
+        bytes) at fetch time; the engine then re-reads a column-pruned view
+        so pixels never sit in executor memory."""
+        fetched.write.mode("overwrite").parquet(
+            os.path.join(self._dir(rnd), "fetched.parquet")
+        )
+
+    def read_fetched(self, spark: SparkSession, rnd: int) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self._dir(rnd), "fetched.parquet")
+        )
+
     def rounds(self) -> list[int]:
         out = []
         if not os.path.isdir(self.base):

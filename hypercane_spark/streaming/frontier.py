@@ -198,7 +198,19 @@ class CrawlEngine:
             # shuffle join touches only this round's selected rows; callers
             # that persist images pre-partitioned by image_id (bench does)
             # pay no images-side shuffle at all.
-            fetched = fetched.join(self.images, "image_id", "left")
+            #
+            # The explicit fixed-width repartition matters: AQE coalesces
+            # post-shuffle partitions by the MAP-side bytes of the selected
+            # rows (a few MB of keys), but the join ATTACHES the payload —
+            # 20 KB/row — so without it the decode/verify UDF runs on ~5
+            # tasks no matter how many cores exist (measured: local[8] ==
+            # local[32] wall time). A user-specified partition count is
+            # exempt from AQE coalescing and co-locates with the persisted
+            # images partitioning.
+            par = self.spark.sparkContext.defaultParallelism
+            fetched = fetched.repartition(par, "image_id").join(
+                self.images.hint("shuffle_hash"), "image_id", "left"
+            )
             if self.cfg.verify_payload:
                 # input_hint per-row fidelity, computed in the fetch stage
                 # itself (Arrow-batched, rides the fetched rows in place)
@@ -298,8 +310,20 @@ class CrawlEngine:
                 break
 
             t = time.time()
-            fetched = self._fetch(selected.drop("__surt"), rnd).persist()
-            fetched.count()
+            fetched_full = self._fetch(selected.drop("__surt"), rnd)
+            if self.ckpt:
+                # Production shape: fetch+verify runs ONCE, payload rows
+                # land directly in the round's columnar table, and the
+                # in-flight view is the disk-backed read — downstream link
+                # extraction prunes the `bytes` column at the scan, so
+                # ~20 KB/row of pixels never sits in executor memory
+                # (persisting them as JVM objects caused round-0 GC storms).
+                self.ckpt.write_fetched(rnd, fetched_full)
+                fetched = self.ckpt.read_fetched(spark, rnd)
+                fetched.count()
+            else:
+                fetched = fetched_full.persist()
+                fetched.count()
             m.timings["fetch"] = time.time() - t
 
             t = time.time()
@@ -327,7 +351,7 @@ class CrawlEngine:
                     rnd,
                     next_frontier,
                     new_seen,
-                    fetched,
+                    None,  # fetched already written at fetch time
                     {
                         "candidates": m.candidates,
                         "selected": m.selected,
