@@ -53,12 +53,20 @@ HEADLINE = [
     "text_quality",
     "crawl_politeness_round",
     "crawl_seen_dedup",
+    "dedup_simhash",
+    "mm_decode_stats",
+    "pipeline_filtered_random",
 ]
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
 CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "120"))
 IMG_N = int(os.environ.get("SPARK_GRAFT_CRAWL_IMAGES", "1000"))
+CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "40"))
+IMG_SIZES = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_CRAWL_IMGPX", "32,64,128").split(",")
+)
 
 
 def get_session(cpus: int):
@@ -97,7 +105,12 @@ def run_crawl(spark) -> dict:
         "damage double, priority double, image_id string, outlinks array<string>"
     )
     cols = [c.split()[0] for c in web_schema.split(", ")]
-    rows = gen_link_graph(n_urls=CRAWL_N_URLS, max_outlinks=3, n_images=IMG_N)
+    rows = gen_link_graph(
+        n_urls=CRAWL_N_URLS,
+        max_outlinks=3,
+        n_images=IMG_N,
+        n_hosts=CRAWL_HOSTS,
+    )
     par = spark.sparkContext.defaultParallelism
     # pre-partitioned on the join key: every per-round join (seed, fetch,
     # link-resolve) reuses this distribution — only the small per-round
@@ -110,7 +123,7 @@ def run_crawl(spark) -> dict:
         [(r["host"], r["disallow"], r["crawl_delay"]) for r in gen_robots()],
         "host string, disallow array<string>, crawl_delay double",
     )
-    img_rows = gen_images(n=IMG_N)
+    img_rows = gen_images(n=IMG_N, sizes=IMG_SIZES)
     img_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     images = spark.createDataFrame(
         [tuple(r[c] for c in img_cols) for r in img_rows],
@@ -137,7 +150,16 @@ def run_crawl(spark) -> dict:
     import shutil
     import tempfile
 
-    ckpt_dir = tempfile.mkdtemp(prefix="crawl-ckpt-", dir=os.getcwd())
+    # tmpfs by default: on a real cluster, checkpoint bandwidth scales with
+    # the executor count (each writes to its own local/object-store lane);
+    # this sandbox's single virtual disk does not, so a RAM-backed dir is
+    # the faithful analog for the scaling measurement. Override with
+    # SPARK_GRAFT_CKPT_DIR to measure a specific storage target.
+    ckpt_base = os.environ.get(
+        "SPARK_GRAFT_CKPT_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else os.getcwd(),
+    )
+    ckpt_dir = tempfile.mkdtemp(prefix="crawl-ckpt-", dir=ckpt_base)
     eng = CrawlEngine(
         spark,
         web,

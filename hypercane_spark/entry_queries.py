@@ -317,6 +317,63 @@ def filter_highest_score_per_cluster(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("source", "doc_id", "n_chars")
 
 
+@q(
+    "filter_off_topic_wordcount",
+    """
+    WITH firsts AS (
+      SELECT source, arg_min(text, doc_id) AS ftext
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT d.doc_id,
+        CASE WHEN len(list_filter(regexp_split_to_array(lower(f.ftext), '\\s+'), x -> x <> '')) > 0
+        THEN CAST(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), x -> x <> ''))
+                  - len(list_filter(regexp_split_to_array(lower(f.ftext), '\\s+'), x -> x <> '')) AS DOUBLE)
+             / len(list_filter(regexp_split_to_array(lower(f.ftext), '\\s+'), x -> x <> ''))
+        ELSE 0.0 END AS s
+      FROM documents d JOIN firsts f USING (source)
+    )
+    SELECT doc_id FROM scored WHERE s > -0.85
+    """,
+)
+def filter_off_topic_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import off_topic
+
+    d = _docs(spark, sf_dir)
+    out = off_topic(
+        d,
+        measure="wordcount",
+        group="source",
+        mdt="doc_id",
+        text="text",
+        key="doc_id",
+    )
+    return out.select("doc_id")
+
+
+@q("filter_near_duplicates", None)  # order-dependent scan: no SQL form
+def filter_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.hashes import tf_simhash64
+    from hypercane_spark.operators.filters import near_duplicates
+
+    d = _docs(spark, sf_dir).withColumn("tf_simhash", tf_simhash64("text"))
+    out = near_duplicates(
+        d, simhash="tf_simhash", group="source", mdt="doc_id", key="doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
+@q("sample_oversample_det", None)  # driver-RNG batch draws: no SQL form
+def sample_oversample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.sample import random_oversample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("cluster")
+    )
+    out = random_oversample(d, cluster="cluster", key="doc_id", seed=42)
+    return out.select("doc_id", "cluster")
+
+
 # ============================================================== clustering
 
 @q(
@@ -1075,14 +1132,23 @@ def _mm_images(spark: SparkSession) -> DataFrame:
 
 
 def _mm_decode_expected_sql() -> str:
+    from decimal import ROUND_HALF_UP, Decimal
+
     from hypercane_spark.synth import decode_image, gen_images
+
+    def spark_round6(x: float) -> float:
+        # Spark's round() = HALF_UP over the double's shortest decimal
+        # repr (BigDecimal.valueOf); Python's round() is half-to-even
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
 
     vals = []
     for r in gen_images(_MM_N):
         px = decode_image(r["bytes"])
         vals.append(
             f"('{r['image_id']}', {px.shape[1]}, {px.shape[0]}, "
-            f"{round(float(px.mean()), 6)!r}, {r['phash']})"
+            f"CAST({spark_round6(float(px.mean()))!r} AS DOUBLE), {r['phash']})"
         )
     return (
         "SELECT * FROM (VALUES "

@@ -68,3 +68,64 @@ def by_score(
 def top_k(df: DataFrame, k: int, score: str, key: str = "urim") -> DataFrame:
     """Global top-k by score — TakeOrderedAndProject, no full sort."""
     return df.orderBy(F.col(score).desc(), F.col(key).desc()).limit(k)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable exact global rank (1-based, row_number semantics).
+
+    The window-based orderings above are correct but execute as a
+    single-partition global window ("No Partition Defined" — every row
+    moves to one task), which is fine for the small post-filter story
+    outputs they serve but wrong for ranking a full corpus. This variant
+    is the 100 TB path:
+
+        range-partition by the order keys → sort within partitions →
+        per-partition counts (tiny collect) → broadcast cumulative offsets
+        → rank = offset[partition] + local index (Arrow-batched)
+
+    Two jobs over a persisted sorted intermediate; no single-task stage.
+    ``order_cols`` take Columns with asc()/desc() already applied; include
+    a unique tiebreaker column for deterministic ranks."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    n = num_partitions or max(2, sc.defaultParallelism)
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # one compute shared by the sizes job and the rank job
+    )
+    sizes = {
+        r["__pid"]: r["c"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sizes):  # range partition i holds the i-th key range
+        offsets[p] = acc
+        acc += sizes[p]
+    b_off = sc.broadcast(offsets)
+
+    out_schema = part.withColumn(rank_col, F.lit(0).cast("long")).schema
+
+    def add_rank(batches):
+        local = 0
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(**{rank_col: pd.Series([], dtype="int64")})
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = b_off.value.get(pid, 0) + local
+            pdf = pdf.copy()
+            pdf[rank_col] = range(start + 1, start + 1 + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(add_rank, schema=out_schema).drop("__pid")

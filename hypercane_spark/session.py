@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 8 MB advisory (default 64 MB): AQE sizes post-shuffle partitions
+        # by MAP-side bytes, and several of our shuffles carry small keys
+        # that fan out into heavy downstream work (payload joins, Python
+        # stages) — 64 MB advisory collapsed them to 1-2 tasks.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Sized for binary payload columns: 10k × 20 KB images = 200 MB

@@ -45,27 +45,51 @@ def build_bloom(
 ) -> bytes:
     """Build a Bloom filter over a key column.
 
-    Bit positions are computed by Catalyst; only the bit-setting runs in
-    Python, one numpy array per partition, OR-reduced treewise."""
+    Bit positions are computed by Catalyst; bit-setting is one vectorized
+    numpy scatter per Arrow batch (mapInPandas — never row-at-a-time
+    Python), emitting ONE bitmap row per partition, OR-reduced on the
+    driver. Bloom filters are OR-composable: callers maintaining an
+    incremental seen-filter build over only the NEW keys per round and
+    ``bloom_or`` the result into their running filter."""
     key_col = F.col(key) if isinstance(key, str) else key
     pos_df = df.select(bloom_positions(key_col, num_bits, num_hashes).alias("p"))
 
     nbytes = (num_bits + 7) // 8
 
-    def to_bits(it):
+    def to_bits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arr = np.zeros(nbytes, dtype=np.uint8)
         any_rows = False
-        for row in it:
+        for pdf in it:
+            if not len(pdf):
+                continue
             any_rows = True
-            p = np.asarray(row["p"], dtype=np.int64)
-            arr[p >> 3] |= np.uint8(1) << (p & 7).astype(np.uint8)
-        return [arr.tobytes()] if any_rows else []
+            pos = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["p"]]
+            )
+            # ufunc.at: unbuffered, so duplicate byte indices OR correctly
+            # (fancy-indexed |= keeps only one write per duplicate index)
+            np.bitwise_or.at(
+                arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
+        if any_rows:
+            yield pd.DataFrame({"b": [arr.tobytes()]})
 
-    parts = pos_df.rdd.mapPartitions(to_bits).collect()
+    parts = pos_df.mapInPandas(to_bits, schema="b binary").collect()
     out = np.zeros(nbytes, dtype=np.uint8)
-    for p in parts:
-        out |= np.frombuffer(p, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["b"], dtype=np.uint8)
     return out.tobytes()
+
+
+def bloom_or(a: bytes | None, b: bytes | None) -> bytes | None:
+    """OR-compose two bloom filters of the same geometry."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return (
+        np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+    ).tobytes()
 
 
 def bloom_might_contain(

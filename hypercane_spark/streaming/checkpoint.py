@@ -38,12 +38,26 @@ class RoundCheckpoint:
         metrics: dict,
     ) -> None:
         d = self._dir(rnd)
-        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier.parquet"))
-        seen.write.mode("overwrite").parquet(os.path.join(d, "seen.parquet"))
+        # independent tables → concurrent jobs (Spark's scheduler interleaves
+        # them across the same executors; the driver threads just overlap
+        # the per-job fixed latency)
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [
+            (frontier, os.path.join(d, "frontier.parquet")),
+            (seen, os.path.join(d, "seen.parquet")),
+        ]
         if fetched is not None:
-            fetched.write.mode("overwrite").parquet(
-                os.path.join(d, "fetched.parquet")
-            )
+            jobs.append((fetched, os.path.join(d, "fetched.parquet")))
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futs = [
+                ex.submit(
+                    lambda df, p: df.write.mode("overwrite").parquet(p), df, p
+                )
+                for df, p in jobs
+            ]
+            for f in futs:
+                f.result()
         # manifest written last = commit marker (atomic-rename semantics)
         tmp = os.path.join(d, ".manifest.tmp")
         with open(tmp, "w") as f:

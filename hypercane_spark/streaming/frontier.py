@@ -42,7 +42,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hypercane_spark.functions.urls import surt_key
-from hypercane_spark.streaming.bloom import bloom_might_contain, build_bloom
+from hypercane_spark.streaming.bloom import (
+    bloom_might_contain,
+    bloom_or,
+    build_bloom,
+)
 from hypercane_spark.streaming.checkpoint import RoundCheckpoint
 from hypercane_spark.streaming.robots import robots_gate
 
@@ -98,6 +102,11 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.ckpt = RoundCheckpoint(checkpoint_dir) if checkpoint_dir else None
         self.metrics: list[RoundMetrics] = []
+        # incremental seen-filter: OR-updated with each round's newly seen
+        # keys (blooms compose under OR), so the per-round build cost is
+        # O(new keys), not O(entire seen set); rebuilt from the seen table
+        # on resume
+        self._bloom: bytes | None = None
 
     # -------------------------------------------------------------- seeds
 
@@ -118,12 +127,13 @@ class CrawlEngine:
 
     def _not_seen(self, frontier: DataFrame, seen: DataFrame) -> DataFrame:
         cand = frontier.withColumn("__surt", surt_key(F.col("urim")))
-        if self.cfg.use_bloom and not seen.isEmpty():
-            bloom = build_bloom(
-                seen, "surt", self.cfg.bloom_bits, self.cfg.bloom_hashes
-            )
+        if self.cfg.use_bloom and self._bloom is not None:
             flagged = bloom_might_contain(
-                cand, "__surt", bloom, self.cfg.bloom_bits, self.cfg.bloom_hashes
+                cand,
+                "__surt",
+                self._bloom,
+                self.cfg.bloom_bits,
+                self.cfg.bloom_hashes,
             )
             sure_new = flagged.where(~F.col("__in_bloom")).drop("__in_bloom")
             maybe = flagged.where(F.col("__in_bloom")).drop("__in_bloom")
@@ -275,9 +285,14 @@ class CrawlEngine:
         if resume and self.ckpt and self.ckpt.rounds():
             start_round, frontier, seen = self.ckpt.read(spark)
             start_round += 1
+            if self.cfg.use_bloom and not seen.isEmpty():
+                self._bloom = build_bloom(
+                    seen, "surt", self.cfg.bloom_bits, self.cfg.bloom_hashes
+                )
         else:
             frontier = self.seed_frontier(seeds)
             seen = self.empty_seen()
+            self._bloom = None
 
         fetched_parts: list[DataFrame] = []
         for rnd in range(start_round, self.cfg.max_rounds):
@@ -327,6 +342,18 @@ class CrawlEngine:
             m.timings["fetch"] = time.time() - t
 
             t = time.time()
+            if self.cfg.use_bloom:
+                # O(selected) incremental update, OR-composed into the
+                # running filter
+                self._bloom = bloom_or(
+                    self._bloom,
+                    build_bloom(
+                        selected.select(F.col("__surt").alias("surt")),
+                        "surt",
+                        self.cfg.bloom_bits,
+                        self.cfg.bloom_hashes,
+                    ),
+                )
             new_seen = seen.unionByName(
                 selected.select(F.col("__surt").alias("surt"))
             ).distinct()

@@ -101,24 +101,24 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 # ------------------------------------------------------------- generators
 
-def _zipf_host(rng: random.Random) -> int:
-    # Zipf(1.2) over HOSTS_N hosts via inverse-CDF on precomputed weights
-    global _ZIPF_CDF
-    try:
-        cdf = _ZIPF_CDF
-    except NameError:
-        w = [1.0 / (i + 1) ** ZIPF_A for i in range(HOSTS_N)]
+_ZIPF_CDFS: dict[int, list[float]] = {}
+
+
+def _zipf_host(rng: random.Random, n_hosts: int = HOSTS_N) -> int:
+    # Zipf(1.2) over n_hosts hosts via inverse-CDF on precomputed weights;
+    # bisect keeps draws O(log n) for large host universes
+    cdf = _ZIPF_CDFS.get(n_hosts)
+    if cdf is None:
+        w = [1.0 / (i + 1) ** ZIPF_A for i in range(n_hosts)]
         tot = sum(w)
         acc, cdf = 0.0, []
         for x in w:
             acc += x / tot
             cdf.append(acc)
-        _ZIPF_CDF = cdf
-    u = rng.random()
-    for i, c in enumerate(cdf):
-        if u <= c:
-            return i
-    return HOSTS_N - 1
+        _ZIPF_CDFS[n_hosts] = cdf
+    import bisect
+
+    return min(bisect.bisect_left(cdf, rng.random()), n_hosts - 1)
 
 
 def gen_urirs(n: int = URIRS_N, seed: int = SEED) -> list[str]:
@@ -172,13 +172,18 @@ def _caption(rng: random.Random, i: int) -> str:
     return " ".join(words) + f" c{i}"
 
 
-def gen_images(n: int, seed: int = SEED) -> list[dict]:
-    """input_hint table: (image_id, bytes, w, h, fmt, caption, phash)."""
+def gen_images(
+    n: int, seed: int = SEED, sizes: tuple[int, ...] = (32, 64, 128)
+) -> list[dict]:
+    """input_hint table: (image_id, bytes, w, h, fmt, caption, phash).
+
+    ``sizes`` sets the candidate edge lengths; benches use larger edges
+    (web-realistic) so per-row decode/verify cost reflects real payloads."""
     rng = random.Random(seed + 2)
     rows = []
     for i in range(n):
-        w = rng.choice([32, 64, 128])
-        h = rng.choice([32, 64, 128])
+        w = rng.choice(list(sizes))
+        h = rng.choice(list(sizes))
         fmt = rng.choice(["png", "jpeg"])
         px_rng = np.random.RandomState(seed + i)
         pixels = px_rng.randint(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
@@ -275,7 +280,11 @@ def gen_politeness(budget: int = 4) -> list[dict]:
 
 
 def gen_link_graph(
-    n_urls: int = 600, seed: int = SEED, max_outlinks: int = 5, n_images: int = 200
+    n_urls: int = 600,
+    seed: int = SEED,
+    max_outlinks: int = 5,
+    n_images: int = 200,
+    n_hosts: int = HOSTS_N,
 ) -> list[dict]:
     """Deterministic synthetic memento web for crawl tests.
 
@@ -288,7 +297,7 @@ def gen_link_graph(
     rng = random.Random(seed + 7)
     urls = []
     for i in range(n_urls):
-        h = _zipf_host(rng)
+        h = _zipf_host(rng, n_hosts)
         urir = f"http://host{h:02d}.example/page/{i}"
         dt = _mdt(rng)
         urls.append((urim_for(urir, dt), urir, f"host{h:02d}.example", dt))

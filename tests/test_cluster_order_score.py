@@ -144,3 +144,21 @@ def test_distance_from_centroid(spark, mementos):
     out = S.distance_from_centroid(mementos.limit(50))
     assert out.count() == 50
     assert out.where("centroid_distance < 0").count() == 0
+
+
+def test_with_global_rank_matches_window(spark, mementos):
+    from pyspark.sql import functions as F
+
+    from hypercane_spark.operators.order import by_memento_datetime, with_global_rank
+
+    expected = {
+        r["urim"]: r["rank"]
+        for r in by_memento_datetime(mementos).select("urim", "rank").collect()
+    }
+    scalable = with_global_rank(
+        mementos,
+        [F.col("memento_datetime").desc(), F.col("urim").desc()],
+        num_partitions=8,
+    )
+    got = {r["urim"]: r["rank"] for r in scalable.select("urim", "rank").collect()}
+    assert got == expected

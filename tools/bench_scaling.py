@@ -48,12 +48,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--reps", type=int, default=2,
+        help="runs per level; best throughput wins (suppresses VM noise)",
+    )
     args = ap.parse_args()
     factor = args.high / args.low
 
-    env_extra = {}
-    lo = run_at(args.low, env_extra)
-    hi = run_at(args.high, env_extra)
+    env_extra: dict[str, str] = {}
+
+    def best_of(cpus: int) -> dict:
+        runs = [run_at(cpus, env_extra) for _ in range(args.reps)]
+        return max(runs, key=lambda r: r["crawl"]["mementos_per_sec"])
+
+    # interleave-ish: low then high, so cache/disk state is symmetric
+    lo = best_of(args.low)
+    hi = best_of(args.high)
     tp_lo = lo["crawl"]["mementos_per_sec"]
     tp_hi = hi["crawl"]["mementos_per_sec"]
     eff = (tp_hi / tp_lo) / factor
