@@ -1050,6 +1050,97 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, qv, k=10, bits=8, probe_hamming=1)
 
 
+@q(
+    "filter_cluster_id",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE NOT list_contains(
+      string_split(source || '~~~x' || CAST(doc_id % 3 AS VARCHAR), '~~~'),
+      'src1')
+    """,
+)
+def filter_cluster_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import exclude_cluster_id
+
+    d = _docs(spark, sf_dir).withColumn(
+        "cluster",
+        F.concat(
+            F.col("source"), F.lit("~~~x"), (F.col("doc_id") % 3).cast("string")
+        ),
+    )
+    out = exclude_cluster_id(d, "src1", subcluster=True)
+    return out.select("doc_id", "source")
+
+
+@q("cluster_kmeans_mdt", None)  # sklearn-parity applyInPandas: no SQL form
+def cluster_kmeans_mdt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.cluster import kmeans_mdt
+
+    m = _pipeline_mementos(spark, sf_dir)
+    return kmeans_mdt(m.drop("cluster"), k=6).select("urim", "cluster")
+
+
+@q("cluster_dbscan_simhash", None)  # applyInPandas: no SQL form
+def cluster_dbscan_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.cluster import dbscan_simhash
+
+    m = _pipeline_mementos(spark, sf_dir)
+    return dbscan_simhash(m.drop("cluster")).select("urim", "cluster")
+
+
+@q("score_centroid_distance", None)  # per-group TF-IDF centroid: no SQL form
+def score_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.score import distance_from_centroid
+
+    m = _pipeline_mementos(spark, sf_dir).withColumn(
+        "cluster", (F.col("doc_id") % 4).cast("string")
+    )
+    out = distance_from_centroid(m, text="text")
+    return out.select("urim", "cluster", "centroid_distance")
+
+
+@q("pipeline_dsa4", None)
+def pipeline_dsa4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.plans import dsa4
+
+    m = _pipeline_mementos(spark, sf_dir)
+    out = dsa4().run(m)
+    return out.select("urim", "cluster", "centroid_distance", "rank")
+
+
+@q(
+    "agg_metadata_stats",
+    f"""
+    WITH m AS ({_DOCS_URIR_SQL})
+    SELECT
+      round(avg(CASE WHEN card_title THEN 1.0 ELSE 0.0 END), 6) AS pct_title,
+      round(avg(CASE WHEN card_desc THEN 1.0 ELSE 0.0 END), 6) AS pct_desc,
+      round(avg(CASE WHEN card_image THEN 1.0 ELSE 0.0 END), 6) AS pct_image,
+      round(avg((CASE WHEN card_title THEN 1.0 ELSE 0.0 END
+               + CASE WHEN card_title THEN 1.0 ELSE 0.0 END
+               + CASE WHEN card_desc THEN 1.0 ELSE 0.0 END
+               + CASE WHEN card_image THEN 1.0 ELSE 0.0 END) / 4.0), 6)
+        AS mean_card_score
+    FROM m
+    """,
+)
+def agg_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed metadata statistics (reference
+    /root/reference/hypercane/report/metadatastats.py:31-199: %seeds with
+    title/description/card fields + mean per-field scores) as one partial-
+    aggregated pass."""
+    from hypercane_spark.operators.score import card_score
+
+    m = card_score(_docs_mementos(spark, sf_dir))
+    flag = lambda c: F.when(F.col(c), 1.0).otherwise(0.0)  # noqa: E731
+    return m.agg(
+        F.round(F.avg(flag("card_title")), 6).alias("pct_title"),
+        F.round(F.avg(flag("card_desc")), 6).alias("pct_desc"),
+        F.round(F.avg(flag("card_image")), 6).alias("pct_image"),
+        F.round(F.avg("card_score"), 6).alias("mean_card_score"),
+    )
+
+
 # ======================================================= packaged pipelines
 #
 # DSA pipelines chain applyInPandas clusterers and an order-dependent scan,

@@ -155,19 +155,36 @@ def simhash_dedup(
     from hypercane_spark.functions.hashes import simhash64_md5
 
     sh = simhash64_md5(text) if use_md5_hash else simhash64(text)
-    work = with_min_parallelism(df).select(F.col(key).alias("k"), sh.alias("sh"))
-    chunks = F.array(
-        *[
-            F.concat(
-                F.lit(f"{i}:"),
-                F.shiftrightunsigned(F.col("sh"), i * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .cast("string"),
-            )
-            for i in range(n_bands)
-        ]
+
+    # Bind the simhash through a single-element transform lambda before
+    # deriving the band chunks: referencing the aggregate 4× (once per
+    # chunk) lets CollapseProject inline and re-evaluate it 4× per row
+    # (same failure mode as minhash_band_keys — see hashes.py). The
+    # explode emits (sh, band) structs whose fields are real attributes.
+    def chunk_structs(s: F.Column) -> F.Column:
+        chunks = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{i}:"),
+                    F.shiftrightunsigned(s, i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .cast("string"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return F.transform(
+            chunks, lambda c: F.struct(s.alias("sh"), c.alias("band"))
+        )
+
+    packed = F.element_at(
+        F.transform(F.array(sh), lambda s: chunk_structs(s)), 1
     )
-    banded = work.select("k", "sh", F.explode(chunks).alias("band"))
+    banded = (
+        with_min_parallelism(df)
+        .select(F.col(key).alias("k"), F.explode(packed).alias("__pb"))
+        .select("k", F.col("__pb.sh").alias("sh"), F.col("__pb.band").alias("band"))
+    )
     a, b = banded.alias("a"), banded.alias("b")
     dup_pairs = (
         a.join(b, on="band")
