@@ -1,0 +1,158 @@
+"""Structured Streaming surfaces for the crawl pipeline.
+
+The reference is strictly batch (SURVEY.md §2.11) — these operators are the
+NEW streaming half the north_rule's continuous-crawl deployment needs:
+
+- ``stream_discovered_urls``  — readStream over a drop-directory of
+  discovered-URL parquet files; watermarked, windowed per-host discovery
+  rates (the crawl monitor).
+- ``stream_frontier_merge``   — foreachBatch ingest: each micro-batch is
+  SURT-canonicalized, deduped against the persisted seen table (left anti)
+  and within itself, then appended to the frontier table. Exactly the
+  batch engine's dedup semantics, applied incrementally.
+- ``politeness_rate_limit``   — custom stateful operator
+  (applyInPandasWithState keyed by host): a token bucket per host admits at
+  most ``budget`` URLs per bucket refill, carrying remaining tokens across
+  micro-batches — the streaming form of the frontier's per-host budget
+  window.
+
+All three run under ``trigger(availableNow=True)`` for deterministic tests;
+in production the same code tails a live drop directory / Kafka source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hypercane_spark.functions.urls import surt_key
+
+DISCOVERED_SCHEMA = (
+    "urim string, urir string, host string, priority double, "
+    "discovered_from string, event_time timestamp"
+)
+
+
+def stream_discovered_urls(
+    spark: SparkSession,
+    drop_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream of discovered URLs (append-only parquet drops)."""
+    reader = (
+        spark.readStream.schema(DISCOVERED_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(drop_dir)
+
+
+def host_discovery_rates(
+    discovered: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked, windowed per-host discovery counts — late rows beyond
+    the watermark are dropped, state is bounded (the 10^10 requirement:
+    monitoring state must not grow with the crawl)."""
+    return (
+        discovered.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("host"))
+        .agg(
+            F.count(F.lit(1)).alias("discovered"),
+            F.max("priority").alias("max_priority"),
+        )
+    )
+
+
+def stream_frontier_merge(
+    discovered: DataFrame,
+    frontier_dir: str,
+    seen_dir: str | None,
+    checkpoint_dir: str,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """foreachBatch ingest into the frontier table.
+
+    Per micro-batch: canonicalize (SURT), drop duplicates within the batch
+    (min discovered_from per urim — deterministic), anti-join the persisted
+    seen table, append the survivors to the frontier parquet. The batch
+    engine's CrawlEngine then consumes the frontier as usual — streaming
+    discovery and batch scheduling compose through the table."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        work = (
+            batch.withColumn("__surt", surt_key(F.col("urim")))
+            .groupBy("urim")
+            .agg(
+                F.first("urir").alias("urir"),
+                F.first("host").alias("host"),
+                F.max("priority").alias("priority"),
+                F.min("discovered_from").alias("discovered_from"),
+                F.first("__surt").alias("__surt"),
+            )
+        )
+        if seen_dir:
+            try:
+                seen = spark.read.parquet(seen_dir)
+                work = work.join(
+                    seen, work["__surt"] == seen["surt"], "left_anti"
+                )
+            except Exception:
+                pass  # no seen table yet → everything is new
+        work.drop("__surt").write.mode("append").parquet(frontier_dir)
+
+    return (
+        discovered.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def politeness_rate_limit(
+    discovered: DataFrame,
+    budget_per_batch: int = 4,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-host token bucket.
+
+    applyInPandasWithState keyed by host; state = (tokens,). Each
+    micro-batch refills the bucket to ``budget_per_batch`` and admits the
+    top-priority URLs first (priority desc, urim asc — the engine's
+    deterministic order), carrying nothing else across batches so state is
+    O(hosts), never O(URLs)."""
+    out_schema = "host string, urim string, priority double"
+    state_schema = "tokens int"
+
+    def limiter(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["priority", "urim"], ascending=[False, True], kind="mergesort"
+        )
+        tokens = budget_per_batch  # refill each micro-batch
+        take = rows.head(tokens)
+        state.update((int(tokens - len(take)),))
+        yield pd.DataFrame(
+            {
+                "host": take["host"],
+                "urim": take["urim"],
+                "priority": take["priority"],
+            }
+        )
+
+    return discovered.groupBy("host").applyInPandasWithState(
+        limiter,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -57,3 +57,69 @@ def test_combine_union(spark):
     out = IO.combine([a, b])
     assert out.count() == 2
     assert set(out.columns) == {"urim", "s1", "s2"}
+
+
+def test_extract_uris_from_input(spark, tmp_path):
+    from hypercane_spark.sources.discovery import extract_uris_from_input
+
+    f = tmp_path / "uris.txt"
+    f.write_text("http://c.example/1\nhttp://c.example/2\n")
+    df = extract_uris_from_input(
+        spark, f"http://a.example/x, http://b.example/y,file://{f}"
+    )
+    rows = [r["uri"] for r in df.orderBy("seq").collect()]
+    assert rows == [
+        "http://a.example/x",
+        "http://b.example/y",
+        "http://c.example/1",
+        "http://c.example/2",
+    ]
+
+
+def test_load_input_dispatcher(spark, mementos, tmp_path):
+    import pytest
+
+    from hypercane_spark.sources.discovery import load_input
+    from hypercane_spark.sources.io import faux_timemaps, write_ors
+
+    tm = faux_timemaps(mementos).select("urit", "urir", "mementos")
+
+    # timemaps parquet path
+    p = str(tmp_path / "tm.parquet")
+    tm.write.parquet(p)
+    exploded = load_input(spark, "timemaps", p)
+    assert exploded.count() == mementos.count()
+    assert "urim" in exploded.columns
+
+    # mementos TSV path
+    tsv = str(tmp_path / "m.tsv")
+    sample = mementos.limit(10).select(
+        F.col("urim").alias("URI-M")
+    ).withColumn("rank", F.monotonically_increasing_id())
+    write_ors(sample, tsv, order_col="rank")
+    loaded = load_input(spark, "mementos", tsv)
+    assert loaded.count() == 10
+
+    # original-resources offline (faux timemap) path
+    urirs_tsv = str(tmp_path / "r.tsv")
+    rsample = mementos.select(F.col("urir").alias("URI-R")).distinct().limit(5)
+    rsample = rsample.withColumn("rank", F.monotonically_increasing_id())
+    write_ors(rsample, urirs_tsv, order_col="rank")
+    orl = load_input(
+        spark, "original-resources", urirs_tsv, tables={"mementos": mementos}
+    )
+    assert orl.count() > 0
+
+    # live branches gated
+    with pytest.raises(NotImplementedError):
+        load_input(spark, "original-resources", urirs_tsv)
+    with pytest.raises(ValueError):
+        load_input(spark, "trove", "x")
+
+    # archiveit templating
+    urits = load_input(
+        spark, "archiveit", "8778", tables={"timemaps": tm}
+    )
+    assert urits.where(
+        F.col("urit").startswith("http://wayback.archive-it.org/8778/")
+    ).count() == urits.count()
