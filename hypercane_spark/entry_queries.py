@@ -1109,6 +1109,61 @@ def pipeline_dsa4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
+        AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.text import doc_fingerprint
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@q(
+    "score_image_count",
+    """
+    WITH refs AS (
+      SELECT d.doc_id, 'img-' || lpad(CAST((d.doc_id * 7 + g.i) % 120 AS VARCHAR), 8, '0') AS image_id
+      FROM documents d, (SELECT unnest(range(0, 3)) AS i) g
+      WHERE (d.doc_id + g.i) % 4 <> 0
+    )
+    SELECT d.doc_id,
+      CAST(coalesce((SELECT count(*) FROM refs r WHERE r.doc_id = d.doc_id), 0) AS DOUBLE)
+        AS image_count_score
+    FROM documents d
+    """,
+)
+def score_image_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image-count scorer over a fetched-images membership table (reference
+    parses <img> tags from raw HTML, /root/reference/hypercane/score/
+    image_count.py:7-69; our engine's fetched-images table already holds one
+    row per embedded image, so the scorer is a count-join). The membership
+    table here is derived deterministically so the DuckDB oracle can build
+    the identical relation."""
+    from hypercane_spark.operators.score import image_count_score
+
+    d = _docs(spark, sf_dir)
+    refs = (
+        d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"))
+        .where((F.col("doc_id") + F.col("i")) % 4 != 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("img-"),
+                F.lpad(((F.col("doc_id") * 7 + F.col("i")) % 120).cast("string"), 8, "0"),
+            ).alias("image_id"),
+        )
+    )
+    out = image_count_score(d, refs, key="doc_id")
+    return out.select("doc_id", "image_count_score")
+
+
+@q(
     "agg_metadata_stats",
     f"""
     WITH m AS ({_DOCS_URIR_SQL})
@@ -1187,6 +1242,25 @@ def pipeline_dsa1(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _pipeline_mementos(spark, sf_dir)
     out = dsa1(k_slices=8).run(m)
     return out.select("urim", "cluster", "dsa1_score", "rank")
+
+
+@q("pipeline_dsa2", None)
+def pipeline_dsa2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.plans import dsa2
+
+    # reduced subset: LDA + per-group kmeans are the expensive ML stages
+    m = _pipeline_mementos(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    out = dsa2(num_topics=5).run(m)
+    return out.select("urim", "cluster", "dsa2_score", "rank")
+
+
+@q("pipeline_dsa3", None)
+def pipeline_dsa3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.plans import dsa3
+
+    m = _pipeline_mementos(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    out = dsa3().run(m)
+    return out.select("urim", "cluster", "bm25_score", "rank")
 
 
 @q("pipeline_filtered_random", None)
