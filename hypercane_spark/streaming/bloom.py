@@ -187,3 +187,65 @@ class CuckooFilter:
                 self.count -= 1
                 return True
         return False
+
+
+def build_cuckoo(
+    df: DataFrame, key: str | Column, capacity: int, seed: int = 42
+) -> "CuckooFilter":
+    """Build a cuckoo filter from a key column. Keys stream to the driver
+    partition-by-partition (toLocalIterator — never one giant collect);
+    the filter itself is the compact fingerprint table, broadcastable.
+    Unlike the bloom it supports deletion, so the engine can also use it
+    for in-flight frontier windows where URLs leave the set after fetch."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    cf = CuckooFilter(capacity=capacity, seed=seed)
+    for row in df.select(key_col.alias("k")).toLocalIterator():
+        cf.insert(row["k"])
+    return cf
+
+
+def cuckoo_might_contain(
+    df: DataFrame,
+    key: str | Column,
+    cf: "CuckooFilter",
+    out: str = "__in_cuckoo",
+) -> DataFrame:
+    """Vectorized membership test against a broadcast cuckoo table: both
+    candidate buckets are gathered with one numpy take per Arrow batch."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    work = df.withColumn("__k", key_col)
+    spark = df.sparkSession
+    b_table = spark.sparkContext.broadcast(cf.table)
+    nbuckets, seed = cf.nbuckets, cf.seed
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType(list(work.schema.fields) + [StructField(out, BooleanType())])
+
+    def check(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hypercane_spark.oracle.simhash import xxh64
+
+        table = b_table.value
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                pdf[out] = pd.Series([], dtype=bool)
+                yield pdf
+                continue
+            fps = np.empty(n, dtype=np.uint16)
+            i1s = np.empty(n, dtype=np.int64)
+            i2s = np.empty(n, dtype=np.int64)
+            for j, k in enumerate(pdf["__k"]):
+                h = xxh64(str(k).encode(), seed)
+                fp = (h & 0xFFFF) or 1
+                i1 = (h >> 16) % nbuckets
+                i2 = (i1 ^ xxh64(fp.to_bytes(2, "little"), seed)) % nbuckets
+                fps[j], i1s[j], i2s[j] = fp, i1, i2
+            hit = (table[i1s] == fps[:, None]).any(axis=1) | (
+                table[i2s] == fps[:, None]
+            ).any(axis=1)
+            pdf = pdf.copy()
+            pdf[out] = hit
+            yield pdf
+
+    return work.mapInPandas(check, schema=schema).drop("__k")

@@ -43,9 +43,11 @@ from pyspark.sql import functions as F
 
 from hypercane_spark.functions.urls import surt_key
 from hypercane_spark.streaming.bloom import (
+    CuckooFilter,
     bloom_might_contain,
     bloom_or,
     build_bloom,
+    cuckoo_might_contain,
 )
 from hypercane_spark.streaming.checkpoint import RoundCheckpoint
 from hypercane_spark.streaming.robots import robots_gate
@@ -65,6 +67,8 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20
     bloom_hashes: int = 5
     use_bloom: bool = True
+    seen_filter: str = "bloom"  # "bloom" | "cuckoo" (use_bloom=False → exact)
+    cuckoo_capacity: int = 1 << 18
     verify_payload: bool = False  # phash/PSNR fidelity check at fetch time
     collect_metrics: bool = True  # False drops optional per-round counts
 
@@ -105,8 +109,10 @@ class CrawlEngine:
         # incremental seen-filter: OR-updated with each round's newly seen
         # keys (blooms compose under OR), so the per-round build cost is
         # O(new keys), not O(entire seen set); rebuilt from the seen table
-        # on resume
+        # on resume. seen_filter="cuckoo" swaps in the deletable
+        # fingerprint-table filter (same prefilter + exact-backstop shape).
         self._bloom: bytes | None = None
+        self._cuckoo = None
 
     # -------------------------------------------------------------- seeds
 
@@ -127,7 +133,17 @@ class CrawlEngine:
 
     def _not_seen(self, frontier: DataFrame, seen: DataFrame) -> DataFrame:
         cand = frontier.withColumn("__surt", surt_key(F.col("urim")))
-        if self.cfg.use_bloom and self._bloom is not None:
+        use_cuckoo = (
+            self.cfg.use_bloom
+            and self.cfg.seen_filter == "cuckoo"
+            and self._cuckoo is not None
+            and self._cuckoo.count > 0
+        )
+        if use_cuckoo:
+            flagged = cuckoo_might_contain(
+                cand, "__surt", self._cuckoo, out="__in_bloom"
+            )
+        elif self.cfg.use_bloom and self._bloom is not None:
             flagged = bloom_might_contain(
                 cand,
                 "__surt",
@@ -135,13 +151,14 @@ class CrawlEngine:
                 self.cfg.bloom_bits,
                 self.cfg.bloom_hashes,
             )
-            sure_new = flagged.where(~F.col("__in_bloom")).drop("__in_bloom")
-            maybe = flagged.where(F.col("__in_bloom")).drop("__in_bloom")
-            checked = maybe.join(
-                seen, maybe["__surt"] == seen["surt"], "left_anti"
-            )
-            return sure_new.unionByName(checked)
-        return cand.join(seen, cand["__surt"] == seen["surt"], "left_anti")
+        else:
+            return cand.join(seen, cand["__surt"] == seen["surt"], "left_anti")
+        sure_new = flagged.where(~F.col("__in_bloom")).drop("__in_bloom")
+        maybe = flagged.where(F.col("__in_bloom")).drop("__in_bloom")
+        checked = maybe.join(
+            seen, maybe["__surt"] == seen["surt"], "left_anti"
+        )
+        return sure_new.unionByName(checked)
 
     def _politeness_select(
         self, allowed: DataFrame
@@ -342,7 +359,18 @@ class CrawlEngine:
             m.timings["fetch"] = time.time() - t
 
             t = time.time()
-            if self.cfg.use_bloom:
+            if self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo":
+                # O(selected) incremental inserts into the fingerprint table
+                if self._cuckoo is None:
+                    self._cuckoo = CuckooFilter(
+                        capacity=self.cfg.cuckoo_capacity
+                    )
+                for row in (
+                    selected.select(F.col("__surt").alias("surt"))
+                    .toLocalIterator()
+                ):
+                    self._cuckoo.insert(row["surt"])
+            elif self.cfg.use_bloom:
                 # O(selected) incremental update, OR-composed into the
                 # running filter
                 self._bloom = bloom_or(

@@ -193,3 +193,39 @@ def test_payload_fidelity_on_fetched(spark, web, robots, seeds, images):
             assert psnr(px, decode_image(encode_image(px, "jpeg"))) >= 40
         else:
             assert np.array_equal(px, decode_image(encode_image(px, "png")))
+
+
+def test_cuckoo_spark_membership(spark, web):
+    from hypercane_spark.streaming.bloom import build_cuckoo, cuckoo_might_contain
+
+    keys = web.select(F.col("urim").alias("k")).limit(100)
+    cf = build_cuckoo(keys, "k", capacity=1000)
+    flagged = cuckoo_might_contain(keys, "k", cf)
+    assert flagged.where(~F.col("__in_cuckoo")).count() == 0
+    fresh = spark.range(500).select(
+        F.concat(F.lit("http://fresh.example/"), F.col("id").cast("string")).alias("k")
+    )
+    fp = cuckoo_might_contain(fresh, "k", cf).where(F.col("__in_cuckoo")).count()
+    assert fp < 25  # 16-bit fingerprints → tiny false-positive rate
+
+
+def test_crawl_cuckoo_filter_matches_oracle(spark, web, web_rows, robots, robots_rows, seeds):
+    from hypercane_spark.oracle.crawl import crawl_oracle
+
+    expect_order, expect_seen = crawl_oracle(
+        web_rows, seeds, robots=robots_rows, per_host_budget=4, max_depth=2,
+        max_rounds=3,
+    )
+    eng = CrawlEngine(
+        spark, web, robots=robots,
+        config=CrawlConfig(
+            per_host_budget=4, max_depth=2, max_rounds=3, seen_filter="cuckoo"
+        ),
+    )
+    seed_df = spark.createDataFrame([(u,) for u in seeds], "urim string")
+    fetched = eng.run(seed_df)
+    assert eng.pop_order(fetched) == expect_order
+    got_seen = {
+        surt_key_py(r["urim"]) for r in fetched.select("urim").collect()
+    }
+    assert got_seen == expect_seen
