@@ -1164,6 +1164,54 @@ def score_image_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_top_bigrams",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS tf
+    FROM b GROUP BY bigram
+    ORDER BY tf DESC, bigram ASC LIMIT 20
+    """,
+)
+def agg_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus phrases (the reference's sumgrams report,
+    /root/reference/hypercane/report/sumgrams.py:8-126, wraps the sumgram
+    library; the Spark-native form is the same explode→count→top-k over
+    n-gram windows — a conflation pass or library call slots into the
+    same aggregation)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    bigrams = (
+        d.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("toks"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("toks"), i + 1),
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@q(
     "agg_metadata_stats",
     f"""
     WITH m AS ({_DOCS_URIR_SQL})
