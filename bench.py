@@ -172,6 +172,14 @@ def run_crawl(spark) -> dict:
             max_rounds=CRAWL_ROUNDS,
             salt_hot_hosts=4,
             verify_payload=True,
+            # phash verified on every fetched row; ground-truth PSNR also
+            # per-row by default — the regen stands in for the codec CPU a
+            # real JPEG decode spends (the sandbox stand-in decoder is a
+            # zero-cost buffer view). SPARK_GRAFT_PSNR_SAMPLE=N switches to
+            # the production data-quality shape (deep audit on 1/N ids).
+            psnr_sample_mod=int(
+                os.environ.get("SPARK_GRAFT_PSNR_SAMPLE", "1")
+            ),
             collect_metrics=False,
         ),
     )

@@ -96,7 +96,7 @@ def resize_images(
     return df.select(*keep, bytes_col).mapInPandas(batches, schema=out_schema)
 
 
-def payload_verify_udf():
+def payload_verify_udf(psnr_sample_mod: int = 1):
     """Scalar Arrow-batched UDF implementing the input_hint per-row fidelity
     contract: decode pixels, recompute the 64-bit average phash against the
     stored one, and measure PSNR of the decoded pixels against the
@@ -105,8 +105,17 @@ def payload_verify_udf():
     lossy must reach ≥ 40 dB). Returns struct<phash_ok:boolean,
     psnr_db:double> with 1e9 standing in for +inf.
 
+    ``psnr_sample_mod > 1`` audits the deep-pixel PSNR on a deterministic
+    1/mod sample of image ids (null elsewhere; F.min skips nulls) while the
+    phash check stays on 100% of rows — the production shape for payload
+    quality auditing: regenerating full ground-truth pixels per row is a
+    memory-bandwidth hog that the sampled audit bounds without weakening
+    the exact per-row hash check.
+
     Being a scalar pandas UDF (not mapInPandas), it rides on the fetched
     rows in place — no extra shuffle or join to re-attach the columns."""
+    import zlib
+
     from hypercane_spark.synth import (
         SEED,
         average_phash,
@@ -126,6 +135,13 @@ def payload_verify_udf():
                 continue
             px = decode_image(bytes(b))
             oks.append(average_phash(px) == p)
+            sampled = (
+                psnr_sample_mod <= 1
+                or zlib.crc32(str(iid).encode()) % psnr_sample_mod == 0
+            )
+            if not sampled:
+                psnrs.append(None)
+                continue
             i = int(str(iid).rsplit("-", 1)[-1])
             truth = (
                 np.random.RandomState(SEED + i)

@@ -70,6 +70,7 @@ class CrawlConfig:
     seen_filter: str = "bloom"  # "bloom" | "cuckoo" (use_bloom=False → exact)
     cuckoo_capacity: int = 1 << 18
     verify_payload: bool = False  # phash/PSNR fidelity check at fetch time
+    psnr_sample_mod: int = 1  # >1: deep PSNR audit on 1/mod of image ids
     collect_metrics: bool = True  # False drops optional per-round counts
 
 
@@ -245,7 +246,9 @@ class CrawlEngine:
                     payload_verify_udf,
                 )
 
-                v = payload_verify_udf()(
+                v = payload_verify_udf(
+                    psnr_sample_mod=self.cfg.psnr_sample_mod
+                )(
                     F.col("image_id"), F.col("bytes"), F.col("phash")
                 )
                 fetched = fetched.withColumn("__v", v).select(
