@@ -777,15 +777,21 @@ def agg_seedstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection growth curve: cumulative fraction of mementos over event
-    time (reference /root/reference/hypercane/report/growth.py:13-317)."""
-    from pyspark.sql import Window
+    time (reference /root/reference/hypercane/report/growth.py:13-317).
+    Cumulative position via the distributed exact rank — the curve is over
+    the FULL events table, so no single-partition window."""
+    from hypercane_spark.operators.order import with_global_rank
 
     e = _events(spark, sf_dir)
     n = e.count()
-    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return e.select(
+    ranked = with_global_rank(
+        e.select("event_id", "ts"),
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        rank_col="__pos",
+    )
+    return ranked.select(
         "event_id",
-        F.round(F.row_number().over(w).cast("double") / F.lit(float(n)), 6).alias(
+        F.round(F.col("__pos").cast("double") / F.lit(float(n)), 6).alias(
             "cum_pct"
         ),
     )

@@ -52,16 +52,41 @@ def time_slice(
     *consecutive* rows (reference
     /root/reference/hypercane/cluster/time_slice.py:58-102 — note this is a
     fixed fill count, NOT ntile: the last slice may be ragged or empty-ish).
-    k defaults to the story-size heuristic on the row count."""
+    k defaults to the story-size heuristic on the row count.
+
+    Global positions come from order.with_global_rank (range-partition +
+    broadcast offsets) — the reference semantics needs a total order but
+    NOT a single-partition window."""
+    from hypercane_spark.operators.order import with_global_rank
+
     n = df.count()
     if k is None:
         k = story_size_k(n)
     if k <= 0:
         return _compose(df, F.lit(0))
     fill = math.ceil(n / k) if n else 1
-    w = Window.orderBy(F.col(mdt).asc(), F.col(key).asc())
-    slice_id = F.floor((F.row_number().over(w) - 1) / fill)
-    return _compose(df, slice_id)
+    ranked = with_global_rank(
+        df, [F.col(mdt).asc(), F.col(key).asc()], rank_col="__pos"
+    )
+    slice_id = F.floor((F.col("__pos") - 1) / fill)
+    return _compose(ranked, slice_id).drop("__pos")
+
+
+def _dense_dim_labels(df: DataFrame, dim_col, cluster: str) -> DataFrame:
+    """Dense 0-based label for a (comparatively tiny) distinct dimension:
+    ``select distinct dim → distributed exact rank over the dim → broadcast
+    join back``. Equivalent to ``dense_rank() over (order by dim)`` but with
+    no single-partition window — the full relation never moves to one task;
+    only the distinct dim (hosts/URI-Rs ≪ rows) is ranked and broadcast."""
+    from hypercane_spark.operators.order import with_global_rank
+
+    work = df.withColumn("__dim", dim_col)
+    dim = work.select("__dim").distinct()
+    labels = with_global_rank(dim, [F.col("__dim").asc()], rank_col="__r").withColumn(
+        "__lbl", F.col("__r") - 1
+    ).drop("__r")
+    joined = work.join(F.broadcast(labels), on="__dim", how="left")
+    return _compose(joined, F.col("__lbl"), cluster=cluster).drop("__dim", "__lbl")
 
 
 def domainname(
@@ -69,11 +94,9 @@ def domainname(
 ) -> DataFrame:
     """Cluster id = dense index of the URI-R's host
     (reference /root/reference/hypercane/cluster/domain.py:6-77 assigns
-    first-seen order; we use lexicographic dense_rank — deterministic under
-    parallelism, same partition structure)."""
-    host = url_host(F.col(urir))
-    rank = F.dense_rank().over(Window.orderBy(host)) - 1
-    return _compose(df.withColumn("__h", host), rank).drop("__h")
+    first-seen order; we use lexicographic dense ranking — deterministic
+    under parallelism, same partition structure)."""
+    return _dense_dim_labels(df, url_host(F.col(urir)), cluster)
 
 
 def original_resource(
@@ -81,8 +104,7 @@ def original_resource(
 ) -> DataFrame:
     """Cluster id = dense index of the exact URI-R (reference
     /root/reference/hypercane/cluster/original_resource.py:6-75)."""
-    rank = F.dense_rank().over(Window.orderBy(F.col(urir))) - 1
-    return _compose(df, rank)
+    return _dense_dim_labels(df, F.col(urir), cluster)
 
 
 # --------------------------------------------------------- per-group k-means

@@ -43,13 +43,17 @@ def decode_stats(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # decode is inherently per-image; iterate with zip over the raw
+            # column arrays (iterrows builds a Series per row — ~5-10× the
+            # overhead around the codec call)
             rows = []
-            for _, r in pdf.iterrows():
-                px = decode_image(bytes(r[bytes_col]))
+            keep_vals = [pdf[c].to_numpy() for c in keep]
+            for i, b in enumerate(pdf[bytes_col]):
+                px = decode_image(bytes(b))
                 q = (px >> 4).astype(np.uint16)
                 packed = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
                 rows.append(
-                    tuple(r[c] for c in keep)
+                    tuple(kv[i] for kv in keep_vals)
                     + (
                         px.shape[1],
                         px.shape[0],
@@ -82,13 +86,14 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                px = decode_image(bytes(r[bytes_col]))
+            keep_vals = [pdf[c].to_numpy() for c in keep]
+            for i, b in enumerate(pdf[bytes_col]):
+                px = decode_image(bytes(b))
                 ys = (np.arange(target) * px.shape[0] // target).clip(0, px.shape[0] - 1)
                 xs = (np.arange(target) * px.shape[1] // target).clip(0, px.shape[1] - 1)
                 small = px[np.ix_(ys, xs)]
                 rows.append(
-                    tuple(r[c] for c in keep)
+                    tuple(kv[i] for kv in keep_vals)
                     + (encode_image(small, "png"), target, target)
                 )
             yield pd.DataFrame(rows, columns=list(keep) + ["bytes", "w", "h"])
@@ -184,7 +189,14 @@ def image_rank(
     /root/reference/hypercane/report/imagedata.py:127-188): order by the
     tuple (in_metadata, score, pixelsize, colorcount, 1/ratio, position)
     descending, with near-duplicate suppression on equal
-    (colorcount, ratio) — the reference's window-dedup."""
+    (colorcount, ratio) — the reference's window-dedup.
+
+    The global rank runs as order.with_global_rank (range-partition +
+    broadcast offsets): the fetched-images table grows with the crawl, so a
+    single-partition ``Window.orderBy`` here is a scale-killer. The dedup
+    window stays a window — it's PARTITIONED by (colorcount, ratio)."""
+    from hypercane_spark.operators.order import with_global_rank
+
     stats = df
     if "colorcount" not in stats.columns:
         stats = stats.join(decode_stats(df, keep=(key,)), on=key)
@@ -194,20 +206,28 @@ def image_rank(
     ).otherwise(F.lit(1.0))
     meta = F.col(in_metadata).cast("int") if in_metadata else F.lit(0)
     sc = F.col(score).cast("double") if score else F.lit(0.0)
-    ranked = stats.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(
-                meta.desc(),
-                sc.desc(),
-                pixelsize.desc(),
-                F.col("colorcount").desc(),
-                (F.lit(1.0) / ratio).desc(),
-                F.col(key).asc(),
-            )
-        ),
+    work = (
+        stats.withColumn("__meta", meta)
+        .withColumn("__sc", sc)
+        .withColumn("__px", pixelsize)
+        .withColumn("__invr", F.lit(1.0) / ratio)
+        .withColumn("__ratio4", F.round(ratio, 4))
     )
-    dupw = Window.partitionBy("colorcount", F.round(ratio, 4)).orderBy("rank")
-    return ranked.withColumn("__dup_rn", F.row_number().over(dupw)).where(
-        F.col("__dup_rn") == 1
-    ).drop("__dup_rn")
+    ranked = with_global_rank(
+        work,
+        [
+            F.col("__meta").desc(),
+            F.col("__sc").desc(),
+            F.col("__px").desc(),
+            F.col("colorcount").desc(),
+            F.col("__invr").desc(),
+            F.col(key).asc(),
+        ],
+        rank_col="rank",
+    )
+    dupw = Window.partitionBy("colorcount", "__ratio4").orderBy("rank")
+    return (
+        ranked.withColumn("__dup_rn", F.row_number().over(dupw))
+        .where(F.col("__dup_rn") == 1)
+        .drop("__dup_rn", "__meta", "__sc", "__px", "__invr", "__ratio4")
+    )

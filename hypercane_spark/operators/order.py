@@ -14,18 +14,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ranked(df: DataFrame, order_cols: list, rank_col: str, distributed: bool) -> DataFrame:
+    """Route an ordering through the scale-safe distributed rank (default)
+    or the single-window path (``distributed=False`` — only for inputs the
+    caller KNOWS are small, e.g. an already-materialized story list)."""
+    if distributed:
+        return with_global_rank(df, order_cols, rank_col=rank_col)
+    return df.withColumn(rank_col, F.row_number().over(Window.orderBy(*order_cols)))
+
+
 def by_memento_datetime(
     df: DataFrame,
     mdt: str = "memento_datetime",
     key: str = "urim",
     rank_col: str = "rank",
+    distributed: bool = True,
 ) -> DataFrame:
     """Newest-first ordering (the reference sorts ascending then reverses,
     /root/reference/hypercane/order/memento_datetime.py:7-34 — list.reverse()
     at :32; ties broken by urim within the tuple sort, which the reversal
     also flips → descending urim)."""
-    w = Window.orderBy(F.col(mdt).desc(), F.col(key).desc())
-    return df.withColumn(rank_col, F.row_number().over(w))
+    return _ranked(
+        df, [F.col(mdt).desc(), F.col(key).desc()], rank_col, distributed
+    )
 
 
 def by_pubdate_else_memento_datetime(
@@ -34,6 +45,7 @@ def by_pubdate_else_memento_datetime(
     mdt: str = "memento_datetime",
     key: str = "urim",
     rank_col: str = "rank",
+    distributed: bool = True,
 ) -> DataFrame:
     """Ascending by publication date, falling back to memento-datetime when
     the extractor found none (reference
@@ -41,8 +53,7 @@ def by_pubdate_else_memento_datetime(
     one is ascending while memento-datetime ordering is descending — a
     reference quirk kept deliberately)."""
     eff = F.coalesce(F.col(pubdate), F.col(mdt))
-    w = Window.orderBy(eff.asc(), F.col(key).asc())
-    return df.withColumn(rank_col, F.row_number().over(w))
+    return _ranked(df, [eff.asc(), F.col(key).asc()], rank_col, distributed)
 
 
 def by_score(
@@ -51,18 +62,17 @@ def by_score(
     descending: bool = True,
     key: str = "urim",
     rank_col: str = "rank",
+    distributed: bool = True,
 ) -> DataFrame:
     """Sort by a (numeric-cast) score column, urim tiebreak (reference
     /root/reference/hypercane/order/score.py:7-24 casts the TSV string to
     float at sort time; our columns are already typed, the cast is a no-op
     kept for TSV round-trips)."""
     s = F.col(score).cast("double")
-    w = (
-        Window.orderBy(s.desc(), F.col(key).desc())
-        if descending
-        else Window.orderBy(s.asc(), F.col(key).asc())
+    cols = (
+        [s.desc(), F.col(key).desc()] if descending else [s.asc(), F.col(key).asc()]
     )
-    return df.withColumn(rank_col, F.row_number().over(w))
+    return _ranked(df, cols, rank_col, distributed)
 
 
 def top_k(df: DataFrame, k: int, score: str, key: str = "urim") -> DataFrame:
@@ -88,9 +98,13 @@ def with_global_rank(
         per-partition counts (tiny collect) → broadcast cumulative offsets
         → rank = offset[partition] + local index (Arrow-batched)
 
-    Two jobs over a persisted sorted intermediate; no single-task stage.
-    ``order_cols`` take Columns with asc()/desc() already applied; include
-    a unique tiebreaker column for deterministic ranks."""
+    Two jobs over a localCheckpoint()ed sorted intermediate (eager: the
+    sizes job needs the compute anyway); no single-task stage. Unlike a
+    bare ``persist()`` the checkpoint blocks are freed by the
+    ContextCleaner as soon as the returned DataFrame is dropped, so
+    repeated calls don't accumulate cached partitions (a measured storage
+    leak in round 1). ``order_cols`` take Columns with asc()/desc() already
+    applied; include a unique tiebreaker column for deterministic ranks."""
     import pandas as pd
 
     spark = df.sparkSession
@@ -100,7 +114,7 @@ def with_global_rank(
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()  # one compute shared by the sizes job and the rank job
+        .localCheckpoint()  # one compute shared by the sizes job and the rank job
     )
     sizes = {
         r["__pid"]: r["c"]

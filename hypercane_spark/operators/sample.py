@@ -66,10 +66,16 @@ def systematic(df: DataFrame, j: int, seq: str = "seq") -> DataFrame:
 
     Reference: /root/reference/hypercane/sample/probability.py:13-27
     (``iteration % j == 0`` with iteration starting at 1).
-    """
-    w = Window.orderBy(F.col(seq))
+
+    Positions come from the distributed exact global rank
+    (order.with_global_rank: range-partition + broadcast offsets), never a
+    single-partition global window — the input is the FULL corpus here, so
+    an ``Exchange SinglePartition`` would serialize the whole relation into
+    one task."""
+    from hypercane_spark.operators.order import with_global_rank
+
     return (
-        df.withColumn("__pos", F.row_number().over(w))
+        with_global_rank(df, [F.col(seq).asc()], rank_col="__pos")
         .where(F.col("__pos") % j == 0)
         .drop("__pos")
     )

@@ -73,20 +73,30 @@ def dsa2_score(
 ) -> DataFrame:
     """DSA2 score (reference /root/reference/hypercane/score/dsa2_score.py:
     7-91): cw·card + sw·zscore(bpfree_size) + iw·zscore(image_count),
-    defaults 0.50/0.25/0.25. z-scores are global window aggregates
-    (population stddev, :70-71) — one pass, partial-aggregated."""
-    w = Window.partitionBy()
+    defaults 0.50/0.25/0.25 (population stddev, :70-71).
 
-    def z(col: str):
-        c = F.col(col).cast("double")
-        mu = F.avg(c).over(w)
-        sd = F.stddev_pop(c).over(w)
-        return F.when(sd > 0, (c - mu) / sd).otherwise(F.lit(0.0))
+    The four corpus scalars (mean/stddev of size and image_count) come from
+    ONE partial-aggregated pass collected to the driver and re-entered as
+    literals — NOT a ``Window.partitionBy()`` empty window, which ships the
+    whole relation to a single task (twice, once per z-score)."""
+    c_size = F.col(size).cast("double")
+    c_img = F.col(image_count).cast("double")
+    stats = df.agg(
+        F.avg(c_size).alias("mu_s"),
+        F.stddev_pop(c_size).alias("sd_s"),
+        F.avg(c_img).alias("mu_i"),
+        F.stddev_pop(c_img).alias("sd_i"),
+    ).first()
+
+    def z(c, mu, sd):
+        if mu is None or sd is None or sd <= 0:
+            return F.lit(0.0)
+        return (c - F.lit(float(mu))) / F.lit(float(sd))
 
     score = (
         F.lit(card_weight) * F.col(card).cast("double")
-        + F.lit(size_weight) * z(size)
-        + F.lit(image_weight) * z(image_count)
+        + F.lit(size_weight) * z(c_size, stats["mu_s"], stats["sd_s"])
+        + F.lit(image_weight) * z(c_img, stats["mu_i"], stats["sd_i"])
     )
     return df.withColumn(out, F.round(score, 6))
 

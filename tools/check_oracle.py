@@ -65,8 +65,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rows_only = 0
+    import re
+
     for name, (fn, sql) in REGISTRY.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not re.search(name_filter, name):
             continue
         try:
             sdf = fn(spark, sf_dir)
