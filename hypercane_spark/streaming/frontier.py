@@ -47,6 +47,8 @@ from hypercane_spark.streaming.bloom import (
     bloom_might_contain,
     bloom_or,
     build_bloom,
+    build_cuckoo,
+    cuckoo_add_df,
     cuckoo_might_contain,
 )
 from hypercane_spark.streaming.checkpoint import RoundCheckpoint
@@ -134,11 +136,16 @@ class CrawlEngine:
 
     def _not_seen(self, frontier: DataFrame, seen: DataFrame) -> DataFrame:
         cand = frontier.withColumn("__surt", surt_key(F.col("urim")))
+        # A full cuckoo can have FALSE NEGATIVES (failed/evicted inserts) —
+        # a seen URL would test "sure new" and skip the exact backstop, so
+        # once full the prefilter is permanently distrusted and every
+        # candidate takes the exact anti-join path.
         use_cuckoo = (
             self.cfg.use_bloom
             and self.cfg.seen_filter == "cuckoo"
             and self._cuckoo is not None
             and self._cuckoo.count > 0
+            and not self._cuckoo.full
         )
         if use_cuckoo:
             flagged = cuckoo_might_contain(
@@ -306,9 +313,18 @@ class CrawlEngine:
             start_round, frontier, seen = self.ckpt.read(spark)
             start_round += 1
             if self.cfg.use_bloom and not seen.isEmpty():
-                self._bloom = build_bloom(
-                    seen, "surt", self.cfg.bloom_bits, self.cfg.bloom_hashes
-                )
+                if self.cfg.seen_filter == "cuckoo":
+                    # the prefilter must cover the ENTIRE checkpointed seen
+                    # set — a fresh filter holding only post-resume keys
+                    # would test pre-resume URLs "sure new" and re-fetch
+                    # them (skipping the exact backstop)
+                    self._cuckoo = build_cuckoo(
+                        seen, "surt", capacity=self.cfg.cuckoo_capacity
+                    )
+                else:
+                    self._bloom = build_bloom(
+                        seen, "surt", self.cfg.bloom_bits, self.cfg.bloom_hashes
+                    )
         else:
             frontier = self.seed_frontier(seeds)
             seen = self.empty_seen()
@@ -342,6 +358,7 @@ class CrawlEngine:
             m.selected = selected.count()
             m.timings["schedule"] = time.time() - t
             if m.selected == 0:
+                selected.unpersist(blocking=False)
                 break
 
             t = time.time()
@@ -363,16 +380,27 @@ class CrawlEngine:
 
             t = time.time()
             if self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo":
-                # O(selected) incremental inserts into the fingerprint table
+                # O(selected) incremental adds: (fp, bucket) pairs computed
+                # partition-wise (JVM hash + vectorized derive), one batch
+                # insert on the driver — no per-row Python (mirrors the
+                # bloom's per-partition build)
                 if self._cuckoo is None:
                     self._cuckoo = CuckooFilter(
                         capacity=self.cfg.cuckoo_capacity
                     )
-                for row in (
-                    selected.select(F.col("__surt").alias("surt"))
-                    .toLocalIterator()
+                if not self._cuckoo.full and not cuckoo_add_df(
+                    self._cuckoo,
+                    selected.select(F.col("__surt").alias("surt")),
+                    "surt",
                 ):
-                    self._cuckoo.insert(row["surt"])
+                    import warnings
+
+                    warnings.warn(
+                        "cuckoo seen-filter is full; disabling the "
+                        "prefilter (exact anti-join only) for the rest of "
+                        "the crawl — raise cuckoo_capacity",
+                        stacklevel=2,
+                    )
             elif self.cfg.use_bloom:
                 # O(selected) incremental update, OR-composed into the
                 # running filter
@@ -427,6 +455,10 @@ class CrawlEngine:
             m.new_links = 0
             fetched_parts.append(fetched)
             self.metrics.append(m)
+            # round state now lives in the checkpoint (or the fetched
+            # cache); dropping the per-round selected cache keeps storage
+            # memory flat across max_rounds rounds
+            selected.unpersist(blocking=False)
 
         if not fetched_parts:
             return spark.createDataFrame([], FRONTIER_SCHEMA + ", round int")

@@ -80,9 +80,11 @@ def stream_frontier_merge(
 
     Per micro-batch: canonicalize (SURT), drop duplicates within the batch
     (min discovered_from per urim — deterministic), anti-join the persisted
-    seen table, append the survivors to the frontier parquet. The batch
-    engine's CrawlEngine then consumes the frontier as usual — streaming
-    discovery and batch scheduling compose through the table."""
+    seen table AND the frontier table itself (so a urim arriving in two
+    micro-batches of the same query is appended once), append the
+    survivors to the frontier parquet. The batch engine's CrawlEngine then
+    consumes the frontier as usual — streaming discovery and batch
+    scheduling compose through the table."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -105,6 +107,16 @@ def stream_frontier_merge(
                 )
             except Exception:
                 pass  # no seen table yet → everything is new
+        # cross-batch dedup: a urim discovered in an EARLIER micro-batch of
+        # this same query is already in the frontier table but not in seen —
+        # anti-join the existing frontier so it isn't appended twice
+        try:
+            existing = spark.read.parquet(frontier_dir)
+            work = work.join(
+                existing.select("urim"), on="urim", how="left_anti"
+            )
+        except Exception:
+            pass  # frontier table doesn't exist yet
         work.drop("__surt").write.mode("append").parquet(frontier_dir)
 
     return (
@@ -118,16 +130,20 @@ def stream_frontier_merge(
 def politeness_rate_limit(
     discovered: DataFrame,
     budget_per_batch: int = 4,
+    burst_capacity: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: per-host token bucket.
 
-    applyInPandasWithState keyed by host; state = (tokens,). Each
-    micro-batch refills the bucket to ``budget_per_batch`` and admits the
+    applyInPandasWithState keyed by host; state = (tokens,) — the leftover
+    tokens carried across micro-batches. Each batch the bucket refills by
+    ``budget_per_batch`` capped at ``burst_capacity`` (default = the
+    budget, i.e. no burst accumulation; set it higher to let hosts that
+    were quiet bank unused tokens for bursts), then admits the
     top-priority URLs first (priority desc, urim asc — the engine's
-    deterministic order), carrying nothing else across batches so state is
-    O(hosts), never O(URLs)."""
+    deterministic order). State is O(hosts), never O(URLs)."""
     out_schema = "host string, urim string, priority double"
     state_schema = "tokens int"
+    cap = burst_capacity if burst_capacity is not None else budget_per_batch
 
     def limiter(
         key: tuple,
@@ -138,7 +154,8 @@ def politeness_rate_limit(
         rows = rows.sort_values(
             ["priority", "urim"], ascending=[False, True], kind="mergesort"
         )
-        tokens = budget_per_batch  # refill each micro-batch
+        carried = state.get[0] if state.exists else 0
+        tokens = min(cap, carried + budget_per_batch)
         take = rows.head(tokens)
         state.update((int(tokens - len(take)),))
         yield pd.DataFrame(

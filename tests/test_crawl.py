@@ -229,3 +229,94 @@ def test_crawl_cuckoo_filter_matches_oracle(spark, web, web_rows, robots, robots
         surt_key_py(r["urim"]) for r in fetched.select("urim").collect()
     }
     assert got_seen == expect_seen
+
+
+def test_cuckoo_insert_many_vectorized():
+    """Batch insert (the engine path) places every key; membership holds."""
+    import numpy as np
+
+    from hypercane_spark.streaming.bloom import _cuckoo_derive, _cuckoo_hash_py
+
+    cf = CuckooFilter(capacity=4000)
+    keys = [f"http://h{i % 37}.example/p{i}" for i in range(2000)]
+    h = np.array([_cuckoo_hash_py(k, cf.seed) for k in keys], dtype=np.int64)
+    fp, i1 = _cuckoo_derive(h, cf.nbuckets)
+    assert cf.insert_many(fp, i1)
+    assert not cf.full
+    assert cf.count == 2000
+    assert all(k in cf for k in keys)
+    # delete keeps buckets left-compacted (next insert still lands)
+    assert cf.delete(keys[0])
+    assert keys[0] not in cf
+    assert cf.insert(keys[0])
+    assert keys[0] in cf
+
+
+def test_cuckoo_full_sets_flag_and_engine_falls_back(
+    spark, web, web_rows, robots, robots_rows, seeds
+):
+    """An overfull cuckoo is a false-negative hazard: the filter must
+    report full=True and the engine must keep exact order/seen fidelity by
+    distrusting the prefilter (exact anti-join path)."""
+    from hypercane_spark.oracle.crawl import crawl_oracle
+
+    tiny = CuckooFilter(capacity=4)  # 8 buckets * 4 slots = 32 fingerprints
+    ok = True
+    for i in range(200):
+        ok = tiny.insert(f"http://x.example/{i}") and ok
+    assert not ok and tiny.full
+
+    expect_order, expect_seen = crawl_oracle(
+        web_rows, seeds, robots=robots_rows, per_host_budget=4, max_depth=2,
+        max_rounds=3,
+    )
+    eng = CrawlEngine(
+        spark, web, robots=robots,
+        config=CrawlConfig(
+            per_host_budget=4, max_depth=2, max_rounds=3,
+            seen_filter="cuckoo", cuckoo_capacity=4,  # guaranteed overflow
+        ),
+    )
+    seed_df = spark.createDataFrame([(u,) for u in seeds], "urim string")
+    fetched = eng.run(seed_df)
+    assert eng.pop_order(fetched) == expect_order
+    got_seen = {surt_key_py(r["urim"]) for r in fetched.select("urim").collect()}
+    assert got_seen == expect_seen
+
+
+def test_crawl_resume_equivalence_cuckoo(spark, web, robots, seeds, tmp_path):
+    """Resume must rebuild the cuckoo prefilter from the checkpointed seen
+    table — a fresh filter would test pre-resume URLs 'sure new' and
+    re-fetch them (round-1 ADVICE bug)."""
+    cfg = CrawlConfig(
+        per_host_budget=4, max_depth=2, max_rounds=8, seen_filter="cuckoo"
+    )
+    seed_df = spark.createDataFrame([(u,) for u in seeds], "urim string")
+
+    full = CrawlEngine(
+        spark, web, robots=robots, checkpoint_dir=str(tmp_path / "cfull"),
+        config=cfg,
+    )
+    order_full = full.pop_order(full.run(seed_df))
+
+    cfg_a = CrawlConfig(
+        per_host_budget=4, max_depth=2, max_rounds=3, seen_filter="cuckoo"
+    )
+    part = CrawlEngine(
+        spark, web, robots=robots, checkpoint_dir=str(tmp_path / "cpart"),
+        config=cfg_a,
+    )
+    f1 = part.run(seed_df)
+    cfg_b = CrawlConfig(
+        per_host_budget=4, max_depth=2, max_rounds=8, seen_filter="cuckoo"
+    )
+    resumed = CrawlEngine(
+        spark, web, robots=robots, checkpoint_dir=str(tmp_path / "cpart"),
+        config=cfg_b,
+    )
+    assert resumed._cuckoo is None
+    f2 = resumed.run(seed_df, resume=True)
+    # the rebuilt prefilter actually covers the pre-resume seen set
+    assert resumed._cuckoo is not None and resumed._cuckoo.count > 0
+    order_joined = part.pop_order(f1) + resumed.pop_order(f2)
+    assert order_joined == order_full
