@@ -1632,3 +1632,187 @@ def crawl_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(surt_key(F.col("urim")).alias("surt"))
     )
     return k.join(seen, "surt", "left_anti").select("urim", "surt")
+
+
+# ===================================================== round-2 operators
+
+_DTOKS_SQL = r"list_distinct(list_filter(regexp_split_to_array(lower(d.text), '\s+'), x -> x <> ''))"
+_FTOKS_SQL = r"list_distinct(list_filter(regexp_split_to_array(lower(f.ftext), '\s+'), x -> x <> ''))"
+
+
+@q(
+    "filter_off_topic_sorensen",
+    f"""
+    WITH firsts AS (
+      SELECT source, arg_min(text, doc_id) AS ftext
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT d.doc_id,
+        1.0 - CASE WHEN (len({_DTOKS_SQL}) + len({_FTOKS_SQL})) > 0
+          THEN 2.0 * len(list_intersect({_DTOKS_SQL}, {_FTOKS_SQL}))
+               / (len({_DTOKS_SQL}) + len({_FTOKS_SQL}))
+          ELSE 0.0 END AS s
+      FROM documents d JOIN firsts f USING (source)
+    )
+    SELECT doc_id FROM scored WHERE s < 0.94
+    """,
+)
+def filter_off_topic_sorensen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import off_topic
+
+    d = _docs(spark, sf_dir)
+    out = off_topic(
+        d, measure="sorensen", group="source", mdt="doc_id",
+        text="text", key="doc_id",
+    )
+    return out.select("doc_id")
+
+
+@q(
+    "filter_off_topic_nlevenshtein",
+    """
+    WITH firsts AS (
+      SELECT source, arg_min(text, doc_id) AS ftext
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id FROM documents d JOIN firsts f USING (source)
+    WHERE CAST(levenshtein(d.text, f.ftext) AS DOUBLE)
+          / greatest(length(d.text), length(f.ftext), 1) < 0.9
+    """,
+)
+def filter_off_topic_nlevenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import off_topic
+
+    d = _docs(spark, sf_dir)
+    out = off_topic(
+        d, measure="nlevenshtein", threshold=0.9, group="source",
+        mdt="doc_id", text="text", key="doc_id",
+    )
+    return out.select("doc_id")
+
+
+@q(
+    "filter_off_topic_simhash",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_SIMHASH_MD5_SQL} AS s FROM documents
+    ),
+    firsts AS (SELECT source, arg_min(s, doc_id) AS fs FROM sh GROUP BY source)
+    SELECT d.doc_id,
+           CAST(bit_count(xor(d.s, f.fs)) AS DOUBLE) AS offtopic_score
+    FROM sh d JOIN firsts f USING (source)
+    WHERE bit_count(xor(d.s, f.fs)) < 28
+    """,
+)
+def filter_off_topic_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import off_topic
+
+    d = _docs(spark, sf_dir)
+    out = off_topic(
+        d, measure="raw_simhash", use_md5_hash=True, group="source",
+        mdt="doc_id", text="text", key="doc_id",
+    )
+    return out.select("doc_id", "offtopic_score")
+
+
+@q(
+    "filter_off_topic_topic_cosine",
+    """
+    WITH f AS (
+      SELECT label, arg_min(embedding, vec_id) AS fv
+      FROM embeddings GROUP BY label
+    ),
+    s AS (
+      SELECT e.vec_id,
+        CASE WHEN sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) > 0
+              AND sqrt(list_dot_product(CAST(f.fv AS DOUBLE[]),
+                                        CAST(f.fv AS DOUBLE[]))) > 0
+        THEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(f.fv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(f.fv AS DOUBLE[]),
+                                        CAST(f.fv AS DOUBLE[]))))
+        ELSE 0.0 END AS cos
+      FROM embeddings e JOIN f USING (label)
+    )
+    SELECT vec_id, round(cos, 6) AS topic_cos FROM s WHERE cos > 0.15
+    """,
+)
+def filter_off_topic_topic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gensim_lda/lsi plug-point measure: topic vectors are any
+    precomputed array column — here the embeddings table stands in for
+    doc-topic distributions."""
+    from hypercane_spark.operators.filters import off_topic
+
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("txt", F.col("vec_id").cast("string"))
+        .withColumn("emb_d", F.col("embedding").cast("array<double>"))
+    )
+    out = off_topic(
+        e, measure="topic_cosine", group="label", mdt="vec_id",
+        text="txt", key="vec_id", topic_vec="emb_d",
+    )
+    return out.select(
+        "vec_id", F.round("offtopic_score", 6).alias("topic_cos")
+    )
+
+
+@q("cluster_dbscan_lda", None)
+def cluster_dbscan_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster LDA doc-topic vectors → DBSCAN (reference
+    dbscan.py:311-459); deterministic collapsed-Gibbs stand-in for gensim,
+    rows-only gate (topic inference is not SQL-expressible)."""
+    from hypercane_spark.operators.cluster import dbscan_lda
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0).select(
+        "doc_id", "source", "text"
+    ).withColumn("cluster", F.col("source"))
+    out = dbscan_lda(d, text="text", num_topics=5)
+    return out.select("doc_id", "cluster")
+
+
+@q("cluster_kmeans_tfidf_ml", None)
+def cluster_kmeans_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HashingTF+IDF+KMeans path of kmeans_tfidf (engine='ml');
+    rows-only gate (hashed-feature k-means labels are not SQL-expressible)."""
+    from hypercane_spark.operators.cluster import kmeans_tfidf
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text"
+    )
+    out = kmeans_tfidf(d, k=8, text="text", engine="ml")
+    return out.select("doc_id", "cluster")
+
+
+@q(
+    "report_entity_freq",
+    r"""
+    WITH e AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z]{6,}')) AS entity
+      FROM documents
+    )
+    SELECT entity, count(*) AS frequency FROM e
+    GROUP BY entity ORDER BY frequency DESC, entity ASC LIMIT 20
+    """,
+)
+def report_entity_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity frequency through the NER plug-point with a custom model
+    callable (here a regex term extractor the SQL oracle replays — the
+    fixture text is lowercase so the default Capitalized-span heuristic
+    finds nothing; see operators/score.py:entity_frequency for the spaCy
+    plug shape)."""
+    import re
+
+    from hypercane_spark.operators.score import entity_frequency
+
+    pat = re.compile(r"[a-z]{6,}")
+    d = _docs(spark, sf_dir)
+    out = entity_frequency(
+        d, text="text", ner=lambda texts: [pat.findall(t) for t in texts]
+    )
+    return out.orderBy(
+        F.col("frequency").desc(), F.col("entity").asc()
+    ).limit(20)

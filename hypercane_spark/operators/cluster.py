@@ -316,11 +316,27 @@ def kmeans_tfidf(
     text: str = "bpfree_text",
     cluster: str = "cluster",
     seed: int = 42,
+    engine: str = "pandas",
+    num_features: int = 1 << 18,
 ) -> DataFrame:
     """Global TF-IDF k-means (reference fits ONE vectorizer+KMeans over all
-    docs, /root/reference/hypercane/cluster/kmeans.py:92-159). For sandbox
-    scale we fit in a single pandas group (parity path); the scale path is
-    pyspark.ml HashingTF+IDF+KMeans — same call signature, flag-switched."""
+    docs, /root/reference/hypercane/cluster/kmeans.py:92-159).
+
+    Two engines, flag-switched:
+
+    - ``engine="pandas"`` (default, parity path): exact dense TF-IDF +
+      deterministic Lloyd's in ONE pandas group — byte-stable labels for
+      the reference-parity pipelines, but a single task; only for
+      story-sized inputs.
+    - ``engine="ml"`` (scale path): pyspark.ml HashingTF (sparse,
+      ``num_features`` hashed dims) → IDF → distributed KMeans. No
+      single-task stage; this is the 100 TB path. Labels are arbitrary ids
+      (as the reference's sklearn labels are) — partition structure, not
+      label values, is the contract (see
+      tests/test_cluster_order_score.py::test_kmeans_tfidf_engines_agree).
+    """
+    if engine == "ml":
+        return _kmeans_tfidf_ml(df, k, text, cluster, seed, num_features)
     work = df.withColumn("__grp", F.lit(0))
     schema = work.withColumn("__new", F.lit(0).cast("long")).schema
 
@@ -350,6 +366,40 @@ def kmeans_tfidf(
     out = work.groupBy("__grp").applyInPandas(fit, schema=schema)
     out = _compose(out, F.col("__new"), cluster=cluster)
     return out.drop("__grp", "__new")
+
+
+def _kmeans_tfidf_ml(
+    df: DataFrame,
+    k: int | None,
+    text: str,
+    cluster: str,
+    seed: int,
+    num_features: int,
+) -> DataFrame:
+    """Distributed TF-IDF k-means: HashingTF keeps vectors sparse (no
+    vocabulary broadcast), IDF is one aggregate over the corpus, and
+    pyspark.ml KMeans iterates map-side partial sums — every stage
+    partition-parallel."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import IDF, HashingTF
+
+    n = df.count()
+    if n == 0:
+        return _compose(df, F.lit(0), cluster=cluster)
+    kk = k if k is not None else math.ceil(math.sqrt(n))
+    kk = max(1, min(kk, n))
+
+    toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda x: x != F.lit(""))
+    work = df.withColumn("__tokens", toks)
+    tf = HashingTF(
+        inputCol="__tokens", outputCol="__tf", numFeatures=num_features
+    ).transform(work)
+    idf = IDF(inputCol="__tf", outputCol="__features").fit(tf)
+    feats = idf.transform(tf)
+    km = KMeans(k=kk, seed=seed, featuresCol="__features", predictionCol="__new")
+    labeled = km.fit(feats).transform(feats)
+    out = _compose(labeled, F.col("__new").cast("long"), cluster=cluster)
+    return out.drop("__tokens", "__tf", "__features", "__new")
 
 
 def lda_topics(
@@ -390,6 +440,103 @@ def lda_topics(
     return out.drop(
         "__tokens", "__features", "topicDistribution", "topicDistribution_arr", "__new"
     )
+
+
+def _lda_doc_topics(
+    docs: list[list[int]],
+    vocab_size: int,
+    k: int,
+    seed: int,
+    iters: int = 30,
+    alpha: float = 0.1,
+    beta: float = 0.01,
+) -> np.ndarray:
+    """Deterministic collapsed-Gibbs LDA over integer-id token docs →
+    doc-topic proportion matrix (len(docs) × k). Stands in for the
+    reference's per-cluster gensim LdaModel (groups are story-sized; the
+    corpus-scale topic path is pyspark.ml's online-VB LDA in lda_topics)."""
+    rng = np.random.RandomState(seed)
+    k = max(1, k)
+    ndk = np.zeros((len(docs), k), dtype=np.float64)
+    nkw = np.zeros((k, vocab_size), dtype=np.float64)
+    nk = np.zeros(k, dtype=np.float64)
+    z: list[np.ndarray] = []
+    for d, words in enumerate(docs):
+        zd = rng.randint(k, size=len(words))
+        z.append(zd)
+        for w, t in zip(words, zd):
+            ndk[d, t] += 1
+            nkw[t, w] += 1
+            nk[t] += 1
+    bv = beta * vocab_size
+    for _ in range(iters):
+        for d, words in enumerate(docs):
+            zd = z[d]
+            for i, w in enumerate(words):
+                t = zd[i]
+                ndk[d, t] -= 1
+                nkw[t, w] -= 1
+                nk[t] -= 1
+                p = (ndk[d] + alpha) * (nkw[:, w] + beta) / (nk + bv)
+                c = np.cumsum(p)
+                t = int(np.searchsorted(c, rng.rand() * c[-1]))
+                t = min(t, k - 1)
+                zd[i] = t
+                ndk[d, t] += 1
+                nkw[t, w] += 1
+                nk[t] += 1
+    theta = ndk + alpha
+    return theta / theta.sum(axis=1, keepdims=True)
+
+
+def dbscan_lda(
+    df: DataFrame,
+    eps: float = 0.3,
+    min_samples: int = 2,
+    num_topics: int = 10,
+    text: str = "bpfree_text",
+    cluster: str = "cluster",
+    seed: int = 42,
+) -> DataFrame:
+    """Per existing cluster: LDA doc-topic vectors → euclidean DBSCAN
+    (reference /root/reference/hypercane/cluster/dbscan.py:311-459 —
+    per-cluster gensim LdaModel(num_topics=10) doc-topic rows into
+    DBSCAN(eps=0.3, min_samples=2); English stopwords dropped before the
+    model, replicated here with the shared stopword list). Same per-group
+    applyInPandas shape as the other parity clusterers: groups are bounded
+    by the largest prior cluster and fit in parallel."""
+    from hypercane_spark.functions.text import EN_STOPWORDS
+
+    stop = set(EN_STOPWORDS)
+    has_prior = cluster in df.columns
+    grouping = F.col(cluster) if has_prior else F.lit("")
+    work = df.withColumn("__grp", F.coalesce(grouping.cast("string"), F.lit("")))
+    schema = work.withColumn("__new", F.lit(0).cast("long")).schema
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        vocab: dict[str, int] = {}
+        docs: list[list[int]] = []
+        for t in pdf[text]:
+            ids = []
+            for tok in str(t).lower().split():
+                if tok in stop:
+                    continue
+                ids.append(vocab.setdefault(tok, len(vocab)))
+            docs.append(ids)
+        if not vocab:
+            pdf = pdf.copy()
+            pdf["__new"] = np.full(len(pdf), -1, dtype=np.int64)
+            return pdf
+        theta = _lda_doc_topics(docs, len(vocab), num_topics, seed=seed)
+        d2 = ((theta[:, None, :] - theta[None, :, :]) ** 2).sum(axis=2)
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        pdf = pdf.copy()
+        pdf["__new"] = _dbscan(dist, eps, min_samples)
+        return pdf
+
+    out = work.groupBy("__grp").applyInPandas(fit, schema=schema)
+    out = _compose(out, F.col("__new"), cluster=cluster)
+    return out.drop("__grp", "__new")
 
 
 def dbscan_tfidf(

@@ -66,6 +66,41 @@ def shingles(text: str | F.Column, n: int = 3) -> F.Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def _cap_degenerate_buckets(
+    banded: DataFrame,
+    band_col: str,
+    max_bucket: int | None,
+    log_dropped: bool,
+    what: str,
+) -> DataFrame:
+    """Drop buckets with more than ``max_bucket`` members before a bucket
+    self-join: one pathological bucket (e.g. thousands of near-empty docs
+    sharing a band) re-introduces O(b²) pair blow-up. Partitioned count
+    window (shuffles on the band key the join shuffles on anyway); with
+    ``log_dropped`` the number of dropped buckets is counted and warned —
+    silent truncation would read as full coverage."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(band_col)
+    capped = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+    if log_dropped:
+        import warnings
+
+        n = (
+            capped.where(F.col("__bn") > max_bucket)
+            .select(band_col)
+            .distinct()
+            .count()
+        )
+        if n:
+            warnings.warn(
+                f"{what}: dropped {n} degenerate bucket(s) with more than "
+                f"{max_bucket} members — pairs within them are NOT emitted",
+                stacklevel=3,
+            )
+    return capped.where(F.col("__bn") <= max_bucket).drop("__bn")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text: str = "text",
@@ -73,14 +108,17 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (key_a < key_b) sharing ≥1 LSH band.
 
     shingle → minhash (num_perm md5-min signatures) → band keys → explode →
     self-join on the band bucket. Rows only meet within a bucket: the join
-    key is (band hash), so shuffle volume is O(rows·bands), never O(rows²).
-    At 100 TB add a bucket-size cap (drop degenerate buckets) — see
-    ``max_bucket`` below (count-window, default off).
+    key is (band hash), so shuffle volume is O(rows·bands), never O(rows²)
+    — EXCEPT inside a degenerate bucket, which ``max_bucket`` caps (drops
+    the bucket, warns with a count; default off so the SQL oracle replays
+    exactly).
 
     Band keys come from the one-pass ``minhash_band_keys`` aggregate —
     composing minhash/bands through projections lets CollapseProject
@@ -92,6 +130,9 @@ def minhash_lsh_candidates(
             minhash_band_keys(shingles(text, shingle_n), num_perm, bands)
         ).alias("band"),
     ).distinct()
+    banded = _cap_degenerate_buckets(
+        banded, "band", max_bucket, log_dropped, "minhash_lsh_candidates"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -140,11 +181,15 @@ def simhash_dedup(
     max_hamming: int = 3,
     band_bits: int = 16,
     use_md5_hash: bool = False,
+    max_bucket: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit simhash, banded into 64/band_bits chunks
     (pigeonhole: two hashes within max_hamming share ≥1 exact chunk when
     chunks > max_hamming), bucket-join candidates, verify with true hamming,
-    keep min key per connected pair (greedy).
+    keep min key per connected pair (greedy). ``max_bucket`` drops
+    degenerate band buckets (with a warned count) before the self-join —
+    default off so the SQL oracle replays exactly.
 
     ``use_md5_hash`` swaps the token hash family from xxhash64 to md5
     (functions/hashes.py:simhash64_md5) so an ANSI-SQL oracle can replicate
@@ -184,6 +229,9 @@ def simhash_dedup(
         with_min_parallelism(df)
         .select(F.col(key).alias("k"), F.explode(packed).alias("__pb"))
         .select("k", F.col("__pb.sh").alias("sh"), F.col("__pb.band").alias("band"))
+    )
+    banded = _cap_degenerate_buckets(
+        banded, "band", max_bucket, log_dropped, "simhash_dedup"
     )
     a, b = banded.alias("a"), banded.alias("b")
     dup_pairs = (

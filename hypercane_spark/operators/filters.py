@@ -197,34 +197,66 @@ def off_topic(
     key: str = "urim",
     keep_on_topic: bool = True,
     score_col: str = "offtopic_score",
+    topic_vec: str = "topic_vec",
+    use_md5_hash: bool = False,
 ) -> DataFrame:
     """Exclude off-topic mementos: compare each memento against the *first*
     (earliest) memento of its TimeMap with a similarity/size measure and
     threshold (reference delegates to otmt,
-    /root/reference/hypercane/hfilter/remove_offtopic.py:375-440; measures
-    and default thresholds :406-434).
+    /root/reference/hypercane/hfilter/remove_offtopic.py:375-440; the
+    measure table is otmt's ``supported_timemap_measures`` — defaults below
+    follow its published table).
 
-    Measures (defaults follow otmt):
-      cosine     — TF cosine vs first memento, on-topic if > 0.12
-      jaccard    — token Jaccard distance, on-topic if < 0.94
-      wordcount  — relative word-count change, on-topic if > -0.85
-      bytecount  — relative byte-count change, on-topic if > -0.65
+    Measures:
+      cosine       — TF cosine vs first memento, on-topic if > 0.12
+      jaccard      — token Jaccard distance, on-topic if < 0.94
+      sorensen     — Sørensen–Dice distance on token sets, on-topic if < 0.94
+      levenshtein  — character edit distance (JVM levenshtein; otmt
+                     tokenizes first — a documented divergence), on-topic
+                     if < threshold. otmt's table default (0.05) only makes
+                     sense normalized; pass an absolute threshold here.
+      nlevenshtein — edit distance / max length, on-topic if < 0.05
+      raw_simhash  — hamming distance of 64-bit raw simhashes, on-topic
+                     if < 28 (otmt default 28)
+      tf_simhash   — hamming distance of TF-weighted simhashes, < 28
+      wordcount    — relative word-count change, on-topic if > -0.85
+      bytecount    — relative byte-count change, on-topic if > -0.65
+      topic_cosine — cosine of precomputed doc-topic vectors (the
+                     gensim_lda/gensim_lsi plug-point: compute
+                     ``topic_vec`` with any topic model, e.g.
+                     cluster.lda_topics' distribution), on-topic if > 0.15
 
     Implemented as: first-memento extraction (min_by over the group — one
-    partial-aggregating shuffle), broadcast-joined back, measure computed as
-    column expressions (cosine via a sparse token-intersection pandas UDF
-    only when texts are long; default pure-SQL TF vectors over distinct
-    tokens is used here).
+    partial-aggregating shuffle), joined back, measure computed as column
+    expressions — all JVM-side, no Python in the hot path.
     """
-    defaults = {"cosine": 0.12, "jaccard": 0.94, "wordcount": -0.85, "bytecount": -0.65}
+    defaults = {
+        "cosine": 0.12,
+        "jaccard": 0.94,
+        "sorensen": 0.94,
+        "levenshtein": 0.05,
+        "nlevenshtein": 0.05,
+        "raw_simhash": 28.0,
+        "tf_simhash": 28.0,
+        "wordcount": -0.85,
+        "bytecount": -0.65,
+        "topic_cosine": 0.15,
+    }
     if measure not in defaults:
         raise ValueError(f"unknown measure {measure!r}")
     thr = defaults[measure] if threshold is None else threshold
 
     # struct ordering is lexicographic ascending — (mdt, key) min = earliest
-    first = df.groupBy(group).agg(
+    aggs = [
         F.min_by(F.col(text), F.struct(F.col(mdt), F.col(key))).alias("__first_text")
-    )
+    ]
+    if measure == "topic_cosine":
+        aggs.append(
+            F.min_by(F.col(topic_vec), F.struct(F.col(mdt), F.col(key))).alias(
+                "__first_vec"
+            )
+        )
+    first = df.groupBy(group).agg(*aggs)
     j = df.join(first, on=group, how="left")
 
     toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda x: x != F.lit(""))
@@ -232,6 +264,7 @@ def off_topic(
         F.split(F.lower(F.col("__first_text")), r"\s+"), lambda x: x != F.lit("")
     )
 
+    drop_cols = ["__first_text"]
     if measure == "wordcount":
         n, fn = F.size(toks), F.size(ftoks)
         score = F.when(fn > 0, (n - fn) / fn).otherwise(F.lit(0.0))
@@ -246,6 +279,55 @@ def off_topic(
         union = F.size(F.array_union(a, b))
         score = F.lit(1.0) - F.when(union > 0, inter / union).otherwise(F.lit(0.0))
         pred = score < thr
+    elif measure == "sorensen":
+        # Sørensen–Dice distance = 1 − 2·|A∩B| / (|A|+|B|) on token sets
+        a, b = F.array_distinct(toks), F.array_distinct(ftoks)
+        inter = F.size(F.array_intersect(a, b))
+        denom = F.size(a) + F.size(b)
+        score = F.lit(1.0) - F.when(
+            denom > 0, F.lit(2.0) * inter / denom
+        ).otherwise(F.lit(0.0))
+        pred = score < thr
+    elif measure == "levenshtein":
+        score = F.levenshtein(F.col(text), F.col("__first_text")).cast("double")
+        pred = score < thr
+    elif measure == "nlevenshtein":
+        lev = F.levenshtein(F.col(text), F.col("__first_text")).cast("double")
+        mx = F.greatest(
+            F.length(F.col(text)), F.length(F.col("__first_text")), F.lit(1)
+        )
+        score = lev / mx
+        pred = score < thr
+    elif measure in ("raw_simhash", "tf_simhash"):
+        from hypercane_spark.functions.hashes import (
+            hamming64,
+            simhash64,
+            simhash64_md5,
+            tf_simhash64,
+        )
+
+        if use_md5_hash:  # md5 bit family — SQL-oracle-replayable variant
+            sh = simhash64_md5
+        else:
+            sh = simhash64 if measure == "raw_simhash" else tf_simhash64
+        score = hamming64(sh(F.col(text)), sh(F.col("__first_text"))).cast(
+            "double"
+        )
+        pred = score < thr
+    elif measure == "topic_cosine":
+        a, b = F.col(topic_vec), F.col("__first_vec")
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = lambda v: F.sqrt(  # noqa: E731
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        na, nb = norm(a), norm(b)
+        score = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+        pred = score > thr
+        drop_cols.append("__first_vec")
     else:  # cosine over TF vectors — computed on the token multiset
         # dot = Σ_t tf_a(t)·tf_b(t); norms via Σ tf².  Expressed with
         # higher-order functions over the distinct-token union.
@@ -276,4 +358,4 @@ def off_topic(
 
     out = j.withColumn(score_col, score.cast("double"))
     out = out.where(pred if keep_on_topic else ~pred)
-    return out.drop("__first_text")
+    return out.drop(*drop_cols)

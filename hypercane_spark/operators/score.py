@@ -231,6 +231,50 @@ def top_entities_bm25(
     return bm25_score(df, [r["t"] for r in top], text=text, out=out)
 
 
+def entity_frequency(
+    df: DataFrame,
+    text: str = "bpfree_text",
+    ner=None,
+    out_entity: str = "entity",
+    out_count: str = "frequency",
+) -> DataFrame:
+    """Corpus-wide entity frequency report (reference
+    /root/reference/hypercane/report/entities.py:7-187 — spaCy
+    en_core_web_sm over boilerplate-free content, counts per entity text).
+
+    ``ner`` is the model plug-point: a callable ``list[str] ->
+    list[list[str]]`` applied per Arrow batch inside mapInPandas — plug a
+    spaCy ``nlp.pipe`` wrapper here; this container has no model, so the
+    deterministic fallback extracts runs of Capitalized words (an
+    NER-shaped heuristic the SQL oracle replays exactly). Counts are
+    partially aggregated inside each batch (map-side combine), then one
+    final groupBy — the shuffle carries (entity, partial_count), never raw
+    entity mentions."""
+    import re
+
+    if ner is None:
+        pat = re.compile(r"[A-Z][a-z]+(?: [A-Z][a-z]+)*")
+        ner = lambda texts: [pat.findall(t or "") for t in texts]  # noqa: E731
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ents = ner([str(t) if t is not None else "" for t in pdf[text]])
+            flat = [e for lst in ents for e in lst]
+            if not flat:
+                continue
+            s = pd.Series(flat).value_counts()
+            yield pd.DataFrame(
+                {out_entity: s.index.astype(str), out_count: s.to_numpy()}
+            )
+
+    per_batch = df.select(text).mapInPandas(
+        batches, schema=f"{out_entity} string, {out_count} long"
+    )
+    return per_batch.groupBy(out_entity).agg(F.sum(out_count).alias(out_count))
+
+
 def distance_from_centroid(
     df: DataFrame,
     text: str = "bpfree_text",

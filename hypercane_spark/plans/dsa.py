@@ -128,7 +128,12 @@ def dsa3(
     offtopic_measure: str = "cosine",
     dbscan_eps: float = 1.3,
     k_entities: int = 5,
+    kmeans_engine: str = "pandas",
 ) -> Pipeline:
+    """``kmeans_engine="ml"`` switches the kmeans-tfidf stage to the
+    distributed HashingTF+IDF+pyspark.ml.KMeans path (no single-task ML
+    stage — required when the pipeline input is corpus-sized, not
+    story-sized); "pandas" keeps the byte-stable parity labels."""
     stages = [
         ("exclude-off-topic", lambda df: off_topic(df, measure=offtopic_measure)),
         ("exclude-near-duplicates", lambda df: near_duplicates(df)),
@@ -136,7 +141,7 @@ def dsa3(
         ("drop-outliers", _drop_outliers),
         ("cluster-free", _drop_cluster),
         ("kmeans-mdt", lambda df: kmeans_mdt(df)),
-        ("kmeans-tfidf", lambda df: kmeans_tfidf(df)),
+        ("kmeans-tfidf", lambda df: kmeans_tfidf(df, engine=kmeans_engine)),
         (
             "bm25-top-entities",
             lambda df: top_entities_bm25(df, k_entities=k_entities),
@@ -151,10 +156,11 @@ def dsa3(
 
 
 @register("dsa4")
-def dsa4() -> Pipeline:
+def dsa4(kmeans_engine: str = "pandas") -> Pipeline:
+    """See dsa3 for the ``kmeans_engine`` flag."""
     stages = [
         ("kmeans-mdt", lambda df: kmeans_mdt(df)),
-        ("kmeans-tfidf", lambda df: kmeans_tfidf(df)),
+        ("kmeans-tfidf", lambda df: kmeans_tfidf(df, engine=kmeans_engine)),
         (
             "distance-from-centroid",
             lambda df: distance_from_centroid(df),

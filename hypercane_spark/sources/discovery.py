@@ -31,7 +31,48 @@ KINDS = (
     "timemaps",
     "original-resources",
     "archiveit",
+    "trove",
+    "pandora-collection",
+    "pandora-subject",
 )
+
+
+def walk_collection_graph(
+    spark: SparkSession,
+    root_id: str,
+    edges: DataFrame,
+    members: DataFrame,
+    id_col: str = "collection_id",
+    child_col: str = "subcollection_id",
+    urim_col: str = "urim",
+    dedup: bool = False,
+    max_depth: int = 100,
+) -> DataFrame:
+    """BFS over a (collection → subcollection) edge table from ``root_id``,
+    accumulating member URI-Ms of every visited node — the offline shape of
+    the reference's Trove/Pandora walkers
+    (/root/reference/hypercane/identify/__init__.py:399-475,557-635:
+    ``generate_subcollection`` extend/remove loops over live NLA JSON).
+    Each node is visited once (the reference's list-walk re-visits on
+    cyclic graphs; a visited-set BFS is the documented sane semantics).
+    Per-round state is two small id DataFrames (collections ≪ mementos);
+    localCheckpoint truncates the iterative lineage like the crawl engine."""
+    visited = spark.createDataFrame([(root_id,)], f"{id_col} string")
+    frontier = visited
+    for _ in range(max_depth):
+        children = (
+            edges.join(frontier, on=id_col, how="left_semi")
+            .select(F.col(child_col).alias(id_col))
+            .distinct()
+            .join(visited, on=id_col, how="left_anti")
+            .localCheckpoint()
+        )
+        if children.isEmpty():
+            break
+        visited = visited.unionByName(children).localCheckpoint()
+        frontier = children
+    out = members.join(visited, on=id_col, how="left_semi").select(urim_col)
+    return out.distinct() if dedup else out
 
 
 def extract_uris_from_input(spark: SparkSession, input_string: str) -> DataFrame:
@@ -71,6 +112,24 @@ def load_input(
                                  (offline), else requires a fetch stage
     kind='archiveit'           → collection id → templated URI-Ts against
                                  ``tables['timemaps']``
+    kind='trove'               → BFS over ``tables['subcollections']``
+                                 (collection_id, subcollection_id) edges
+                                 from the given collection id, URI-Ms from
+                                 ``tables['collection_mementos']``
+                                 (collection_id, urim); duplicates kept —
+                                 the reference extends a list
+                                 (identify/__init__.py:399-423)
+    kind='pandora-collection'  → URI-Ms of one collection id from
+                                 ``tables['collection_mementos']``
+                                 (identify/__init__.py:424-437)
+    kind='pandora-subject'     → URI-Ms of the subject + a BFS over
+                                 ``tables['subcategories']`` (subject_id,
+                                 subcategory_id) with per-subject URI-Ms
+                                 from ``tables['subject_mementos']``, plus
+                                 the ROOT subject's collections via
+                                 ``tables['subject_collections']``;
+                                 set-deduped like the reference's
+                                 list(set(...)) (identify/__init__.py:438-475)
     """
     if kind == "mementos":
         df = read_tsv_resource(spark, arg, key_field="URI-M")
@@ -109,4 +168,57 @@ def load_input(
         seeds = tables["timemaps"].select("urir").distinct()
         urits = generate_archiveit_urits(seeds, collection_id or arg)
         return urits
+    if kind == "trove":
+        if not (tables and "subcollections" in tables and "collection_mementos" in tables):
+            raise NotImplementedError(
+                "live Trove walks need the NLA API; provide tables="
+                "{'subcollections': edges, 'collection_mementos': members} "
+                "for the offline path"
+            )
+        return walk_collection_graph(
+            spark,
+            arg,
+            tables["subcollections"],
+            tables["collection_mementos"],
+            dedup=False,
+        )
+    if kind == "pandora-collection":
+        if not (tables and "collection_mementos" in tables):
+            raise NotImplementedError(
+                "live Pandora walks need the NLA API; provide tables="
+                "{'collection_mementos': members} for the offline path"
+            )
+        members = tables["collection_mementos"]
+        return members.where(F.col("collection_id") == arg).select("urim")
+    if kind == "pandora-subject":
+        need = ("subcategories", "subject_mementos")
+        if not (tables and all(t in tables for t in need)):
+            raise NotImplementedError(
+                "live Pandora walks need the NLA API; provide tables="
+                "{'subcategories': edges, 'subject_mementos': members"
+                "[, 'subject_collections', 'collection_mementos']} for the "
+                "offline path"
+            )
+        urims = walk_collection_graph(
+            spark,
+            arg,
+            tables["subcategories"],
+            tables["subject_mementos"],
+            id_col="subject_id",
+            child_col="subcategory_id",
+            dedup=False,
+        )
+        if "subject_collections" in tables and "collection_mementos" in tables:
+            # the reference lists collections of the ROOT subject only
+            root_colls = (
+                tables["subject_collections"]
+                .where(F.col("subject_id") == arg)
+                .select("collection_id")
+                .distinct()
+            )
+            coll_urims = tables["collection_mementos"].join(
+                F.broadcast(root_colls), on="collection_id", how="left_semi"
+            ).select("urim")
+            urims = urims.unionByName(coll_urims)
+        return urims.distinct()
     raise ValueError(f"unknown input kind {kind!r}; one of {KINDS}")

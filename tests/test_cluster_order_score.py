@@ -162,3 +162,102 @@ def test_with_global_rank_matches_window(spark, mementos):
     )
     got = {r["urim"]: r["rank"] for r in scalable.select("urim", "rank").collect()}
     assert got == expected
+
+
+def test_kmeans_tfidf_engines_agree(spark):
+    """The pandas parity engine and the distributed ml engine must induce
+    the same PARTITION on clearly separated data (labels are arbitrary)."""
+    from hypercane_spark.operators.cluster import kmeans_tfidf
+
+    rows = []
+    for i in range(12):
+        rows.append((f"a{i}", "alpha beta gamma delta " * 8))
+    for i in range(12):
+        rows.append((f"b{i}", "omega sigma lambda kappa " * 8))
+    df = spark.createDataFrame(rows, "urim string, bpfree_text string")
+
+    def partition(out):
+        groups = {}
+        for r in out.select("urim", "cluster").collect():
+            groups.setdefault(r["cluster"], set()).add(r["urim"])
+        return sorted(frozenset(g) for g in groups.values())
+
+    p_pandas = partition(kmeans_tfidf(df, k=2, engine="pandas"))
+    p_ml = partition(kmeans_tfidf(df, k=2, engine="ml"))
+    expect = sorted(
+        [
+            frozenset(f"a{i}" for i in range(12)),
+            frozenset(f"b{i}" for i in range(12)),
+        ]
+    )
+    assert p_pandas == expect
+    assert p_ml == expect
+
+
+def test_dbscan_lda_partitions_disjoint_vocab(spark):
+    from hypercane_spark.operators.cluster import dbscan_lda
+
+    rows = []
+    for i in range(6):
+        rows.append((f"a{i}", "alpha beta gamma delta epsilon " * 10, "g"))
+    for i in range(6):
+        rows.append((f"b{i}", "omega sigma lambda kappa mu " * 10, "g"))
+    df = spark.createDataFrame(
+        rows, "urim string, bpfree_text string, cluster string"
+    )
+    out = dbscan_lda(df, eps=0.5, min_samples=2, num_topics=4)
+    got = {r["urim"]: r["cluster"] for r in out.collect()}
+    # composite with the prior cluster
+    assert all(c.startswith("g~~~") for c in got.values())
+    a_labels = {got[f"a{i}"] for i in range(6)}
+    b_labels = {got[f"b{i}"] for i in range(6)}
+    # identical docs land together and the two vocab groups do not merge
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_entity_frequency_plug_point(spark):
+    from hypercane_spark.operators.score import entity_frequency
+
+    df = spark.createDataFrame(
+        [("Barack Obama met Angela Merkel",), ("Angela Merkel spoke",)],
+        "bpfree_text string",
+    )
+    # default heuristic: Capitalized spans
+    got = {
+        r["entity"]: r["frequency"]
+        for r in entity_frequency(df).collect()
+    }
+    assert got == {"Barack Obama": 1, "Angela Merkel": 2}
+    # pluggable fake model — exact contract
+    fake = lambda texts: [["X", "Y"] for _ in texts]  # noqa: E731
+    got2 = {
+        r["entity"]: r["frequency"]
+        for r in entity_frequency(df, ner=fake).collect()
+    }
+    assert got2 == {"X": 2, "Y": 2}
+
+
+def test_off_topic_new_measures_smoke(spark):
+    from hypercane_spark.operators.filters import off_topic
+
+    rows = [
+        ("t1", 1, "m1", "the quick brown fox jumps over the lazy dog"),
+        ("t1", 2, "m2", "the quick brown fox jumps over the lazy cat"),
+        ("t1", 3, "m3", "completely unrelated words entirely different page"),
+    ]
+    df = spark.createDataFrame(
+        rows, "urit string, mdt int, urim string, bpfree_text string"
+    )
+    for measure, kw in [
+        ("sorensen", {}),
+        ("levenshtein", {"threshold": 10}),
+        ("nlevenshtein", {"threshold": 0.5}),
+        ("raw_simhash", {}),
+        ("tf_simhash", {}),
+    ]:
+        out = off_topic(df, measure=measure, mdt="mdt", **kw)
+        kept = {r["urim"] for r in out.select("urim").collect()}
+        assert "m1" in kept, measure  # first memento is on-topic vs itself
+        assert "m2" in kept, measure  # near-identical text stays
+        assert "m3" not in kept, measure  # unrelated text filtered

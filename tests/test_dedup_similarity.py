@@ -140,3 +140,41 @@ def test_image_rank(spark, images):
     assert rows[0]["rank"] == 1
     sizes = [r["dec_w"] * r["dec_h"] for r in rows]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_lsh_degenerate_bucket_cap(spark):
+    """A pathological bucket (many identical docs) re-introduces O(b²)
+    pairs; the cap bounds it and warns instead of silently truncating."""
+    import warnings
+
+    from hypercane_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [(f"d{i:03d}", "same same same same same") for i in range(40)]
+    rows += [(f"u{i}", f"unique text number {i} with words {i*7}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    uncapped = minhash_lsh_candidates(df, text="text", key="doc_id").count()
+    assert uncapped >= 40 * 39 // 2  # the degenerate bucket is quadratic
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = minhash_lsh_candidates(
+            df, text="text", key="doc_id", max_bucket=10
+        ).count()
+        assert any("degenerate bucket" in str(x.message) for x in w)
+    assert capped < 40  # the quadratic bucket's pairs are gone
+
+
+def test_simhash_dedup_bucket_cap(spark):
+    from hypercane_spark.operators.dedup import simhash_dedup
+
+    rows = [(f"d{i:03d}", "same same same same same") for i in range(30)]
+    rows += [(f"u{i}", f"quite different content {i} entirely {i*13}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # cap off: 29 identical docs drop (one representative survives)
+    base = simhash_dedup(df, text="text", key="doc_id").count()
+    assert base == 5 + 1
+    # cap on with a tiny bound: the degenerate bucket is skipped, its
+    # members all survive (documented drop-the-bucket semantics)
+    capped = simhash_dedup(df, text="text", key="doc_id", max_bucket=5).count()
+    assert capped == 35

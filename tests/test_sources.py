@@ -113,8 +113,10 @@ def test_load_input_dispatcher(spark, mementos, tmp_path):
     # live branches gated
     with pytest.raises(NotImplementedError):
         load_input(spark, "original-resources", urirs_tsv)
+    with pytest.raises(NotImplementedError):
+        load_input(spark, "trove", "x")  # known kind, needs offline tables
     with pytest.raises(ValueError):
-        load_input(spark, "trove", "x")
+        load_input(spark, "nope", "x")
 
     # archiveit templating
     urits = load_input(
@@ -123,3 +125,70 @@ def test_load_input_dispatcher(spark, mementos, tmp_path):
     assert urits.where(
         F.col("urit").startswith("http://wayback.archive-it.org/8778/")
     ).count() == urits.count()
+
+
+def test_trove_pandora_walkers(spark):
+    """Dispatcher kinds 5-7: BFS collection walkers (offline shape)."""
+    from hypercane_spark.sources.discovery import KINDS, load_input
+
+    assert set(KINDS) == {
+        "mementos", "timemaps", "original-resources", "archiveit",
+        "trove", "pandora-collection", "pandora-subject",
+    }
+
+    edges = spark.createDataFrame(
+        [("c0", "c1"), ("c0", "c2"), ("c1", "c3"), ("c3", "c1"),  # cycle
+         ("cX", "cY")],  # unreachable branch
+        "collection_id string, subcollection_id string",
+    )
+    members = spark.createDataFrame(
+        [("c0", "https://a/m0"), ("c1", "https://a/m1"), ("c2", "https://a/m2"),
+         ("c3", "https://a/m3"), ("c2", "https://a/m1"),  # dup across colls
+         ("cX", "https://a/mX")],
+        "collection_id string, urim string",
+    )
+    t = load_input(
+        spark, "trove", "c0",
+        tables={"subcollections": edges, "collection_mementos": members},
+    )
+    urims = sorted(r["urim"] for r in t.collect())
+    # duplicates kept (reference list-extend semantics); cycle terminates;
+    # unreachable branch excluded
+    assert urims == ["https://a/m0", "https://a/m1", "https://a/m1",
+                     "https://a/m2", "https://a/m3"]
+
+    pc = load_input(
+        spark, "pandora-collection", "c2",
+        tables={"collection_mementos": members},
+    )
+    assert sorted(r["urim"] for r in pc.collect()) == [
+        "https://a/m1", "https://a/m2"
+    ]
+
+    subcats = spark.createDataFrame(
+        [("s0", "s1"), ("s1", "s2")],
+        "subject_id string, subcategory_id string",
+    )
+    smembers = spark.createDataFrame(
+        [("s0", "https://a/m0"), ("s1", "https://a/m1"),
+         ("s2", "https://a/m1"), ("s2", "https://a/m4")],
+        "subject_id string, urim string",
+    )
+    scolls = spark.createDataFrame(
+        [("s0", "c2"), ("s1", "c3")],  # only ROOT subject's collections count
+        "subject_id string, collection_id string",
+    )
+    ps = load_input(
+        spark, "pandora-subject", "s0",
+        tables={
+            "subcategories": subcats,
+            "subject_mementos": smembers,
+            "subject_collections": scolls,
+            "collection_mementos": members,
+        },
+    )
+    got = sorted(r["urim"] for r in ps.collect())
+    # subject walk m0,m1,m1,m4 + root collections (c2 → m2,m1), set-deduped;
+    # s1's collection c3 NOT included (root-only, reference quirk)
+    assert got == ["https://a/m0", "https://a/m1", "https://a/m2",
+                   "https://a/m4"]
