@@ -1816,3 +1816,66 @@ def report_entity_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("frequency").desc(), F.col("entity").asc()
     ).limit(20)
+
+
+@q(
+    "report_sumgrams",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS ngram
+      FROM d WHERE len(t) >= 2
+    ),
+    bdf AS (SELECT ngram, count(*) AS df FROM bi GROUP BY ngram),
+    cands AS (SELECT * FROM bdf ORDER BY df DESC, ngram ASC LIMIT 100),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS tri
+      FROM d WHERE len(t) >= 3
+    ),
+    tdfs AS (SELECT tri, count(*) AS tdf FROM tg GROUP BY tri),
+    children AS (
+      SELECT tri, tdf, unnest([
+        array_to_string(list_slice(string_split(tri, ' '), 1, 2), ' '),
+        array_to_string(list_slice(string_split(tri, ' '), 2, 3), ' ')
+      ]) AS ngram
+      FROM tdfs
+    ),
+    best AS (
+      SELECT ngram, tri AS ptri, tdf AS pdf FROM (
+        SELECT c.ngram, ch.tri, ch.tdf,
+               row_number() OVER (PARTITION BY c.ngram
+                                  ORDER BY ch.tdf DESC, ch.tri DESC) AS rn
+        FROM cands c JOIN children ch USING (ngram)
+      ) WHERE rn = 1
+    ),
+    conf AS (
+      SELECT CASE WHEN b.pdf IS NOT NULL AND b.pdf >= 0.8 * c.df
+                  THEN b.ptri ELSE c.ngram END AS ngram, c.df
+      FROM cands c LEFT JOIN best b USING (ngram)
+    ),
+    agg AS (SELECT ngram, max(df) AS term_freq FROM conf GROUP BY ngram)
+    SELECT regexp_replace(regexp_replace(ngram, '^[[:punct:]]+', ''),
+                          '[[:punct:]]+$', '') AS ngram,
+           term_freq,
+           round(CAST(term_freq AS DOUBLE) / (SELECT n FROM nd), 6) AS term_rate
+    FROM agg ORDER BY term_freq DESC, ngram DESC LIMIT 20
+    """,
+)
+def report_sumgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass sumgram conflation (operators/score.py:sumgrams) — base
+    bigram doc frequencies, trigram-parent glue at ratio 0.8, reference
+    ordering quirk (freq desc, ngram DESC)."""
+    from hypercane_spark.operators.score import sumgrams
+
+    d = _docs(spark, sf_dir)
+    return sumgrams(d, text="text", key="doc_id")

@@ -275,6 +275,134 @@ def entity_frequency(
     return per_batch.groupBy(out_entity).agg(F.sum(out_count).alias(out_count))
 
 
+def sumgrams(
+    df: DataFrame,
+    text: str = "bpfree_text",
+    key: str = "urim",
+    top_k: int = 20,
+    pool: int = 100,
+    expand_ratio: float = 0.8,
+    current_year: int | None = None,
+) -> DataFrame:
+    """Sumgram-style conflated top phrases (reference
+    /root/reference/hypercane/report/sumgrams.py:8-126 wraps the public
+    ``sumgram`` library: top base bigrams by DOCUMENT frequency, conflated
+    upward into longer phrases when a longer phrase co-occurs in most of
+    the base ngram's documents).
+
+    Spark-first two-pass rebuild:
+
+      1. base pass — explode per-doc DISTINCT bigrams → one partial-
+         aggregated count = doc frequency; keep the top ``pool``
+         candidates.
+      2. conflation pass — explode per-doc distinct trigrams, emit each
+         trigram under its two child bigrams, broadcast-join the candidate
+         set, pick the max-df parent per candidate (max_by), and replace
+         the bigram with the parent phrase when
+         ``parent_df ≥ expand_ratio · bigram_df`` (the library's glue
+         heuristic as one explicit ratio).
+
+    Output: (ngram, term_freq, term_rate) — term_freq = the winning base
+    ngram's doc frequency (max over children conflating to one phrase),
+    term_rate = term_freq / corpus size, ordered by the reference's
+    ``sorted(sf, reverse=True)`` quirk (freq desc, then ngram DESC), edge
+    punctuation stripped. ``current_year`` enables the reference's
+    month+year exclusion workaround (kept off by default so results don't
+    depend on the wall clock)."""
+    from hypercane_spark.functions.hashes import tokens_ws
+
+    n_docs = df.count()
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [], "ngram string, term_freq long, term_rate double"
+        )
+    toks = tokens_ws(text)
+
+    def grams(t, n):
+        # guard: Spark's sequence(1, 0) DESCENDS, and slice(_, 0, _) throws
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    d = df.select(F.col(key).alias("__d"), toks.alias("__t"))
+    bi = (
+        d.select("__d", F.explode(F.array_distinct(grams(F.col("__t"), 2))).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cands = bi.orderBy(F.col("df").desc(), F.col("ngram").asc()).limit(pool)
+
+    tri = (
+        d.select("__d", F.explode(F.array_distinct(grams(F.col("__t"), 3))).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("tdf"))
+    )
+    words = F.split(F.col("tri"), " ")
+    children = tri.select(
+        "tri",
+        "tdf",
+        F.explode(
+            F.array(
+                F.array_join(F.slice(words, 1, 2), " "),
+                F.array_join(F.slice(words, 2, 2), " "),
+            )
+        ).alias("ngram"),
+    )
+    best_parent = (
+        children.join(F.broadcast(cands.select("ngram")), on="ngram")
+        .groupBy("ngram")
+        .agg(F.max(F.struct(F.col("tdf"), F.col("tri"))).alias("__m"))
+        .select(
+            "ngram",
+            F.col("__m.tri").alias("ptri"),
+            F.col("__m.tdf").alias("pdf"),
+        )
+    )
+    conflated = (
+        cands.join(best_parent, on="ngram", how="left")
+        .select(
+            F.when(
+                F.col("pdf").isNotNull()
+                & (F.col("pdf") >= F.lit(expand_ratio) * F.col("df")),
+                F.col("ptri"),
+            )
+            .otherwise(F.col("ngram"))
+            .alias("ngram"),
+            "df",
+        )
+        .groupBy("ngram")
+        .agg(F.max("df").alias("term_freq"))
+    )
+    if current_year is not None:
+        months = (
+            "january february march april may june july august september "
+            "october november december jan feb mar apr jun jul aug sep oct "
+            "nov dec"
+        ).split()
+        month_pred = F.lit(False)
+        for m in months:
+            month_pred = month_pred | F.col("ngram").contains(m)
+        conflated = conflated.where(
+            ~(month_pred & F.col("ngram").contains(str(current_year)))
+        )
+    out = conflated.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("ngram"), r"^[\p{Punct}]+", ""),
+            r"[\p{Punct}]+$",
+            "",
+        ).alias("ngram"),
+        "term_freq",
+        F.round(F.col("term_freq") / F.lit(float(n_docs)), 6).alias("term_rate"),
+    )
+    return out.orderBy(
+        F.col("term_freq").desc(), F.col("ngram").desc()
+    ).limit(top_k)
+
+
 def distance_from_centroid(
     df: DataFrame,
     text: str = "bpfree_text",

@@ -93,6 +93,56 @@ def extract_uris_from_input(spark: SparkSession, input_string: str) -> DataFrame
     return spark.createDataFrame([(u, i) for i, u in enumerate(uris)], "uri string, seq long")
 
 
+def timegate_negotiate(
+    df: DataFrame,
+    negotiator=None,
+    accept_datetime: str | None = None,
+    urir: str = "urir",
+    out: str = "urim",
+    batch_hosts_sorted: bool = True,
+) -> DataFrame:
+    """Fetch-stage UDF shape for TimeGate negotiation (reference
+    /root/reference/hypercane/identify/__init__.py:178-273: HEAD the
+    TimeGate with Accept-Datetime, follow the 302 to the closest memento;
+    archivenow push when absent).
+
+    ``negotiator`` is the network plug-point: a callable
+    ``(urirs: list[str], accept_datetime: str | None) -> list[str | None]``
+    applied per Arrow batch inside mapInPandas — plug a requests/aiohttp
+    TimeGate client (or an archivenow pusher for misses) there. Rows whose
+    negotiation returns None are dropped (the reference logs and skips).
+    This sandbox has no network, so there is NO default negotiator — the
+    call raises with instructions; the offline equivalent is
+    ``load_input('original-resources', …, tables={'mementos': df})``
+    (faux-TimeMap join). ``batch_hosts_sorted`` sorts each batch by host
+    so a politeness-aware client sees grouped hosts."""
+    if negotiator is None:
+        raise NotImplementedError(
+            "TimeGate negotiation needs a network client: pass "
+            "negotiator=(urirs, accept_datetime) -> [urim|None]; offline, "
+            "use load_input('original-resources', …, tables={'mementos'})"
+        )
+    import pandas as pd
+
+    from hypercane_spark.functions.urls import url_host
+
+    work = df.withColumn("__h", url_host(F.col(urir)))
+    out_schema = f"{urir} string, {out} string"
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if batch_hosts_sorted:
+                pdf = pdf.sort_values(["__h", urir], kind="mergesort")
+            urirs = [str(u) for u in pdf[urir]]
+            urims = negotiator(urirs, accept_datetime)
+            res = pd.DataFrame({urir: urirs, out: urims})
+            yield res[res[out].notna()]
+
+    return work.select(urir, "__h").mapInPandas(batches, schema=out_schema)
+
+
 def load_input(
     spark: SparkSession,
     kind: str,

@@ -279,6 +279,102 @@ def gen_politeness(budget: int = 4) -> list[dict]:
     ]
 
 
+def gen_link_graph_df(
+    spark,
+    n_urls: int,
+    max_outlinks: int = 3,
+    n_images: int = 1000,
+    n_hosts: int = HOSTS_N,
+    seed: int = SEED,
+):
+    """Distributed synthetic memento web — the multi-million-URL analog of
+    gen_link_graph (driver-side Python row generation stops scaling around
+    ~1M rows). Every column is a pure hash function of the row id, so the
+    table generates as `spark.range(n)` + column expressions with no
+    driver data at all: same SCHEMA and distribution SHAPE (Zipf(1.2)
+    hosts via an inverse-CDF literal, uniform datetimes over 2015-2022,
+    priority = epoch/1e9 − damage, outlinks uniform over the id space).
+    NOT row-identical to gen_link_graph — the crawl-order oracle tests
+    keep the Python generator; this one feeds throughput benches."""
+    from pyspark.sql import functions as F
+
+    w = [1.0 / (i + 1) ** ZIPF_A for i in range(n_hosts)]
+    tot = sum(w)
+    acc, cum = 0.0, []
+    for x in w:
+        acc += x / tot
+        cum.append(acc)
+    cdf = F.array(*[F.lit(c) for c in cum])
+    epoch2015 = 1420070400  # 2015-01-01 UTC
+    span = 7 * 365 * 86400
+
+    def h(idc, salt: str):
+        return F.abs(
+            F.xxhash64(F.concat(F.lit(f"{salt}:{seed}:"), idc.cast("string")))
+        )
+
+    def u01(idc, salt: str):
+        return (h(idc, salt) % F.lit(1_000_000_007)) / F.lit(1_000_000_007.0)
+
+    def host_idx(idc):
+        u = u01(idc, "host")
+        return F.size(F.filter(cdf, lambda c: c < u))
+
+    def dt_of(idc):
+        return F.timestamp_seconds(F.lit(epoch2015) + (h(idc, "dt") % span))
+
+    def urir_of(idc):
+        return F.format_string(
+            "http://host%02d.example/page/%s",
+            host_idx(idc),
+            idc.cast("string"),
+        )
+
+    def urim_of(idc):
+        return F.concat(
+            F.lit("https://archive.example/web/"),
+            F.date_format(dt_of(idc), "yyyyMMddHHmmss"),
+            F.lit("/"),
+            urir_of(idc),
+        )
+
+    i = F.col("id")
+    damage = F.round(u01(i, "dmg"), 4)
+    n_out = (h(i, "nout") % (max_outlinks + 1)).cast("int")
+    targets = F.when(
+        n_out >= 1,
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), n_out),
+                        lambda k: h(
+                            F.concat(i.cast("string"), F.lit("#"), k.cast("string")),
+                            "out",
+                        )
+                        % n_urls,
+                    ),
+                    lambda j: j != i,
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return spark.range(n_urls).select(
+        urim_of(i).alias("urim"),
+        urir_of(i).alias("urir"),
+        F.format_string("host%02d.example", host_idx(i)).alias("host"),
+        dt_of(i).alias("memento_datetime"),
+        damage.alias("damage"),
+        F.round(
+            (F.unix_timestamp(dt_of(i)) / F.lit(1e9)) - damage, 9
+        ).alias("priority"),
+        F.format_string(
+            "img-%08d", (i * F.lit(2654435761)) % F.lit(n_images)
+        ).alias("image_id"),
+        F.transform(targets, lambda j: urim_of(j)).alias("outlinks"),
+    )
+
+
 def gen_link_graph(
     n_urls: int = 600,
     seed: int = SEED,

@@ -192,3 +192,51 @@ def test_trove_pandora_walkers(spark):
     # s1's collection c3 NOT included (root-only, reference quirk)
     assert got == ["https://a/m0", "https://a/m1", "https://a/m2",
                    "https://a/m4"]
+
+
+def test_timegate_negotiate_udf_shape(spark):
+    """The negotiation fetch stage is a mapInPandas with a pluggable
+    client; a fake negotiator exercises batching, host grouping, and
+    None-drop semantics."""
+    import pytest
+
+    from hypercane_spark.sources.discovery import timegate_negotiate
+
+    df = spark.createDataFrame(
+        [(f"http://h{i % 3}.example/p{i}",) for i in range(30)],
+        "urir string",
+    )
+    with pytest.raises(NotImplementedError):
+        timegate_negotiate(df)
+
+    def fake(urirs, adt):
+        # hosts arrive grouped within each batch
+        hosts = [u.split("/")[2] for u in urirs]
+        assert hosts == sorted(hosts)
+        return [
+            None if u.endswith("0") else f"https://arch.example/web/{adt}/{u}"
+            for u in urirs
+        ]
+
+    out = timegate_negotiate(df, negotiator=fake, accept_datetime="2024")
+    rows = out.collect()
+    assert all(r["urim"].startswith("https://arch.example/web/2024/") for r in rows)
+    # /p0, /p10, /p20 dropped (negotiator returned None)
+    assert len(rows) == 27
+
+
+def test_sumgram_conflation(spark):
+    """A trigram covering ≥ ratio of a bigram's docs replaces it; a
+    bigram without a dominant parent stays."""
+    from hypercane_spark.operators.score import sumgrams
+
+    rows = [(i, "big red dog barks") for i in range(8)]
+    rows += [(100 + i, "small cat sleeps" if i % 2 else "small cat runs") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["ngram"]: (r["term_freq"], r["term_rate"]) for r in
+           sumgrams(df, text="text", key="doc_id", top_k=10).collect()}
+    # 'big red' (df 8) conflates upward: 'big red dog' in 8/8 docs
+    assert "big red dog" in out and out["big red dog"][0] == 8
+    assert "big red" not in out
+    # 'small cat' (df 8) has parents 'small cat sleeps'/'runs' at 4/8 < 0.8
+    assert "small cat" in out and out["small cat"][0] == 8

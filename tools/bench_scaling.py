@@ -44,6 +44,17 @@ def run_at(cpus: int, env_extra: dict[str, str]) -> dict:
     return json.loads(line)
 
 
+def _fidelity_md(fid: dict, high: int) -> str:
+    if "phash_ok_rate" in fid:
+        return (
+            f"Per-row fidelity over all fetched rows of the `local[{high}]` "
+            f"run:\nphash match rate = {fid['phash_ok_rate']:.4f}, min PSNR "
+            f"= {fid['min_psnr_db']} dB (≥ 40 dB required for\nlossy "
+            "formats; lossless rows report the 1e9 sentinel).\n"
+        )
+    return f"Mode: {fid.get('mode', 'n/a')}.\n"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
@@ -98,11 +109,7 @@ Same crawl job, same deterministic input (seed 42,
 **Scaling efficiency = (tp_4N / tp_N) / {factor:g} = {eff:.3f}**
 (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
 
-Per-row fidelity over all fetched rows of the `local[{args.high}]` run:
-phash match rate = {report['fidelity']['phash_ok_rate']:.4f},
-min PSNR = {report['fidelity']['min_psnr_db']} dB (≥ 40 dB required for
-lossy formats; lossless rows report the 1e9 sentinel).
-
+{_fidelity_md(report['fidelity'], args.high)}
 Stage wall-times (`local[{args.high}]`, summed over rounds):
 `{json.dumps(hi['crawl']['stage_s'])}`
 """
