@@ -1879,3 +1879,103 @@ def report_sumgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return sumgrams(d, text="text", key="doc_id")
+
+
+# HTML synthesized deterministically from documents so both engines parse
+# the SAME markup (the real pipeline gets raw HTML at the fetch stage).
+_HTML_SQL = """
+  '<html><head><script>var x = 1; if (x < 2) { x = 3; }</script>'
+  || '<meta name="author" content="writer ' || CAST(doc_id % 7 AS VARCHAR) || '">'
+  || '<meta property="og:title" content="Doc ' || CAST(doc_id AS VARCHAR) || '">'
+  || (CASE WHEN doc_id % 3 = 0
+      THEN '<meta property="og:image" content="http://img.example/' || CAST(doc_id AS VARCHAR) || '.png">'
+      ELSE '' END)
+  || '<meta name="author" content="dup ignored">'
+  || '<style>p { color: red; }</style><!-- hidden -->'
+  || '</head><body><p>' || text || ' &amp; more</p></body></html>'
+"""
+
+
+def _docs_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><script>var x = 1; if (x < 2) { x = 3; }</script>'),
+        F.lit('<meta name="author" content="writer '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">'),
+        F.lit('<meta property="og:title" content="Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:image" content="http://img.example/'),
+                F.col("doc_id").cast("string"),
+                F.lit('.png">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<meta name="author" content="dup ignored">'),
+        F.lit("<style>p { color: red; }</style><!-- hidden -->"),
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit(" &amp; more</p></body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+@q(
+    "html_boilerplate_free",
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents)
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+        '\\s+', ' ', 'g')) AS bpfree_text
+    FROM h
+    """,
+)
+def html_boilerplate_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.html import strip_boilerplate
+
+    h = _docs_html(spark, sf_dir)
+    return h.select(
+        "doc_id", strip_boilerplate(F.col("html")).alias("bpfree_text")
+    )
+
+
+@q(
+    "html_meta_card",
+    f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    kv AS (
+      SELECT doc_id,
+        regexp_extract(html, '(?i)<meta[^>]*(?:name|property)\\s*=\\s*"author"[^>]*content\\s*=\\s*"([^"]*)"', 1) AS author,
+        regexp_extract(html, '(?i)<meta[^>]*(?:name|property)\\s*=\\s*"og:title"[^>]*content\\s*=\\s*"([^"]*)"', 1) AS og_title,
+        (doc_id % 3 = 0) AS card_image
+      FROM h
+    )
+    SELECT doc_id, author, og_title, FALSE AS card_title_missing, card_image
+    FROM kv
+    """,
+)
+def html_meta_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta k/v extraction + card flags (functions/html.py): first-wins
+    dedup on the repeated author meta; og:image flag only every 3rd doc."""
+    from hypercane_spark.functions.html import card_flags, meta_kv
+
+    h = _docs_html(spark, sf_dir)
+    kv = meta_kv(F.col("html"))
+    flags = card_flags(F.col("html"))
+    return h.select(
+        "doc_id",
+        F.element_at(kv, F.lit("author")).alias("author"),
+        F.element_at(kv, F.lit("og:title")).alias("og_title"),
+        (~flags["card_title"]).alias("card_title_missing"),
+        flags["card_image"].alias("card_image"),
+    )

@@ -355,13 +355,13 @@ class CrawlEngine:
             )
             selected, deferred = self._politeness_select(allowed)
             selected = selected.persist()
-            m.selected = selected.count()
             m.timings["schedule"] = time.time() - t
-            if m.selected == 0:
-                selected.unpersist(blocking=False)
-                break
 
             t = time.time()
+            # The selected count rides the fetch job: selected ⊆ web, so
+            # |fetched| == |selected| (inner join on urim; payload join is
+            # left). One driver action fewer per round — at 10^10 scale the
+            # per-round driver round-trips ARE the iterative bottleneck.
             fetched_full = self._fetch(selected.drop("__surt"), rnd)
             if self.ckpt:
                 # Production shape: fetch+verify runs ONCE, payload rows
@@ -372,11 +372,16 @@ class CrawlEngine:
                 # (persisting them as JVM objects caused round-0 GC storms).
                 self.ckpt.write_fetched(rnd, fetched_full)
                 fetched = self.ckpt.read_fetched(spark, rnd)
-                fetched.count()
+                m.selected = fetched.count()
             else:
                 fetched = fetched_full.persist()
-                fetched.count()
+                m.selected = fetched.count()
             m.timings["fetch"] = time.time() - t
+            if m.selected == 0:
+                selected.unpersist(blocking=False)
+                if not self.ckpt:
+                    fetched.unpersist(blocking=False)
+                break
 
             t = time.time()
             if self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo":

@@ -298,13 +298,25 @@ def gen_link_graph_df(
     keep the Python generator; this one feeds throughput benches."""
     from pyspark.sql import functions as F
 
+    # Zipf(1.2) via a pre-sampled 4096-entry quantile table: host_idx is
+    # ONE element_at into a literal array (O(1)) instead of an inverse-CDF
+    # scan of n_hosts elements — CollapseProject re-inlines these
+    # expressions ~10× per row (urim, urir, host, and once per outlink
+    # target), so per-eval cost matters enormously at 10^7 rows.
     w = [1.0 / (i + 1) ** ZIPF_A for i in range(n_hosts)]
     tot = sum(w)
     acc, cum = 0.0, []
     for x in w:
         acc += x / tot
         cum.append(acc)
-    cdf = F.array(*[F.lit(c) for c in cum])
+    import bisect
+
+    qtab = [
+        bisect.bisect_right(cum, (q + 0.5) / 4096)
+        for q in range(4096)
+    ]
+    qtab = [min(x, n_hosts - 1) for x in qtab]
+    qlit = F.array(*[F.lit(x) for x in qtab])
     epoch2015 = 1420070400  # 2015-01-01 UTC
     span = 7 * 365 * 86400
 
@@ -317,8 +329,7 @@ def gen_link_graph_df(
         return (h(idc, salt) % F.lit(1_000_000_007)) / F.lit(1_000_000_007.0)
 
     def host_idx(idc):
-        u = u01(idc, "host")
-        return F.size(F.filter(cdf, lambda c: c < u))
+        return F.element_at(qlit, (h(idc, "host") % 4096 + 1).cast("int"))
 
     def dt_of(idc):
         return F.timestamp_seconds(F.lit(epoch2015) + (h(idc, "dt") % span))
