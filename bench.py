@@ -56,6 +56,11 @@ HEADLINE = [
     "dedup_simhash",
     "mm_decode_stats",
     "pipeline_filtered_random",
+    # round-2 operators
+    "filter_off_topic_sorensen",
+    "report_sumgrams",
+    "report_entity_freq",
+    "html_boilerplate_free",
 ]
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))

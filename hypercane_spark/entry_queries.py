@@ -1979,3 +1979,40 @@ def html_meta_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~flags["card_title"]).alias("card_title_missing"),
         flags["card_image"].alias("card_image"),
     )
+
+
+def _stopword_sql_list() -> str:
+    from hypercane_spark.functions.text import EN_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@q(
+    "report_generate_queries",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    c AS (
+      SELECT doc_id, term, count(*) AS c FROM t
+      WHERE term NOT IN ({_stopword_sql_list()})
+      GROUP BY doc_id, term
+    ),
+    r AS (
+      SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, term ASC) AS rn
+      FROM c
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           string_agg(term, ' ' ORDER BY rn) AS query
+    FROM r WHERE rn <= 3 GROUP BY doc_id
+    """,
+)
+def report_generate_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc2query plug-point with the deterministic top-terms fallback
+    (operators/score.py:generate_queries)."""
+    from hypercane_spark.operators.score import generate_queries
+
+    d = _docs(spark, sf_dir)
+    return generate_queries(d, text="text", key="doc_id")

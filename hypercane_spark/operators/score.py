@@ -275,6 +275,60 @@ def entity_frequency(
     return per_batch.groupBy(out_entity).agg(F.sum(out_count).alias(out_count))
 
 
+def generate_queries(
+    df: DataFrame,
+    text: str = "bpfree_text",
+    key: str = "urim",
+    generator=None,
+    k_terms: int = 3,
+    out: str = "query",
+) -> DataFrame:
+    """Per-document search-query generation (reference
+    /root/reference/hypercane/report/generate_queries.py:82-136 — a
+    doc2query-T5 plug-point in the reference too; its fallback is
+    top-scoring terms).
+
+    ``generator`` is the model plug-point: ``list[str] -> list[str]``
+    (one query per document) applied per Arrow batch in mapInPandas —
+    plug a doc2query/T5 pipe there. The deterministic fallback joins each
+    document's ``k_terms`` most frequent non-stopword tokens (count desc,
+    term asc — SQL-oracle-replayable)."""
+    import pandas as pd
+
+    from hypercane_spark.functions.text import EN_STOPWORDS
+
+    stop = set(EN_STOPWORDS)
+
+    if generator is None:
+
+        def generator(texts: list[str]) -> list[str]:
+            qs = []
+            for t in texts:
+                counts: dict[str, int] = {}
+                for tok in str(t).lower().split():
+                    if tok in stop:
+                        continue
+                    counts[tok] = counts.get(tok, 0) + 1
+                top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                qs.append(" ".join(w for w, _ in top[:k_terms]))
+            return qs
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].astype(str),
+                    out: generator([str(t) for t in pdf[text]]),
+                }
+            )
+
+    return df.select(key, text).mapInPandas(
+        batches, schema=f"{key} string, {out} string"
+    )
+
+
 def sumgrams(
     df: DataFrame,
     text: str = "bpfree_text",

@@ -261,3 +261,18 @@ def test_off_topic_new_measures_smoke(spark):
         assert "m1" in kept, measure  # first memento is on-topic vs itself
         assert "m2" in kept, measure  # near-identical text stays
         assert "m3" not in kept, measure  # unrelated text filtered
+
+
+def test_generate_queries_plug_point(spark):
+    from hypercane_spark.operators.score import generate_queries
+
+    df = spark.createDataFrame(
+        [("u1", "apple apple banana the of"), ("u2", "zebra")],
+        "urim string, bpfree_text string",
+    )
+    got = {r["urim"]: r["query"] for r in generate_queries(df).collect()}
+    # fallback: top terms by (count desc, term asc), stopwords dropped
+    assert got == {"u1": "apple banana", "u2": "zebra"}
+    fake = lambda texts: [f"Q:{t[:5]}" for t in texts]  # noqa: E731
+    got2 = {r["urim"]: r["query"] for r in generate_queries(df, generator=fake).collect()}
+    assert got2 == {"u1": "Q:apple"[:7], "u2": "Q:zebra"}
