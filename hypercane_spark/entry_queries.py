@@ -351,6 +351,75 @@ def filter_off_topic_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+@q(
+    "filter_off_topic_cosine",
+    r"""
+    WITH firsts AS (
+      SELECT source, arg_min(text, doc_id) AS ftext
+      FROM documents GROUP BY source
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    ftf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(ftext), '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM firsts)
+      GROUP BY source, tok
+    ),
+    dn AS (SELECT doc_id, sum(tf * tf) AS s2 FROM dtf GROUP BY doc_id),
+    fn AS (SELECT source, sum(tf * tf) AS s2 FROM ftf GROUP BY source),
+    dots AS (
+      SELECT d.doc_id, sum(dtf.tf * ftf.tf) AS dp
+      FROM documents d
+      JOIN dtf ON dtf.doc_id = d.doc_id
+      JOIN ftf ON ftf.source = d.source AND ftf.tok = dtf.tok
+      GROUP BY d.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+        CASE WHEN coalesce(dn.s2, 0) > 0 AND coalesce(fn.s2, 0) > 0
+          THEN CAST(coalesce(dots.dp, 0) AS DOUBLE)
+               / (sqrt(CAST(dn.s2 AS DOUBLE)) * sqrt(CAST(fn.s2 AS DOUBLE)))
+          ELSE 0.0 END AS s
+      FROM documents d
+      LEFT JOIN dn USING (doc_id)
+      LEFT JOIN fn ON fn.source = d.source
+      LEFT JOIN dots ON dots.doc_id = d.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS offtopic_score
+    FROM scored WHERE s > 0.12
+    """,
+)
+def filter_off_topic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-cosine vs the group's first memento — the otmt default measure.
+    The Spark side runs the linear run-length form (filters.off_topic,
+    dot = (Σtf²_{a∪b} − Σtf²_a − Σtf²_b)/2); the oracle recomputes it
+    relationally (unnest → per-token tf → join) — same exact integers,
+    same doubles."""
+    from hypercane_spark.operators.filters import off_topic
+
+    d = _docs(spark, sf_dir)
+    out = off_topic(
+        d,
+        measure="cosine",
+        group="source",
+        mdt="doc_id",
+        text="text",
+        key="doc_id",
+    )
+    return out.select(
+        "doc_id", F.round(F.col("offtopic_score"), 6).alias("offtopic_score")
+    )
+
+
 @q("filter_near_duplicates", None)  # order-dependent scan: no SQL form
 def filter_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.functions.hashes import tf_simhash64
@@ -798,6 +867,48 @@ def agg_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_growth_auc",
+    """
+    WITH stats AS (
+      SELECT count(*) AS n,
+             min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+             greatest(1, max(CAST(floor(epoch(ts)) AS BIGINT))
+                         - min(CAST(floor(epoch(ts)) AS BIGINT))) AS span
+      FROM events
+    ), pts AS (
+      SELECT
+        (CAST(floor(epoch(ts)) AS BIGINT) - (SELECT t0 FROM stats))
+          / CAST((SELECT span FROM stats) AS DOUBLE) AS x,
+        CAST(row_number() OVER (ORDER BY ts, event_id) AS DOUBLE)
+          / (SELECT n FROM stats) AS y
+      FROM events
+    ), seg AS (
+      SELECT x, y,
+             lead(x) OVER (ORDER BY y) AS xn,
+             lead(y) OVER (ORDER BY y) AS yn
+      FROM pts
+    )
+    SELECT round(sum((xn - x) * (yn + y) / 2.0), 6) AS auc_memento_curve,
+           round(sum((xn - x) * (yn + y) / 2.0) - 0.5, 6)
+             AS auc_memento_minus_diag
+    FROM seg WHERE xn IS NOT NULL
+    """,
+)
+def agg_growth_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-curve AUC scalars — the reference's sklearn trapezoidal auc
+    over the growth points (/root/reference/hypercane/actions/report.py:
+    446-449), as a distributed pair-join + one aggregate
+    (operators/growth.py). ``ts`` plays memento-datetime, ``event_id``
+    plays urim."""
+    from hypercane_spark.operators.growth import growth_curve_auc_stats
+
+    e = _events(spark, sf_dir)
+    return growth_curve_auc_stats(
+        e.select(F.col("ts").alias("memento_datetime"), F.col("event_id").alias("urim"))
+    )
+
+
+@q(
     "agg_faux_timemap_stats",
     """
     WITH m AS (
@@ -915,21 +1026,32 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_ngram_jaccard",
     f"""
-    WITH w AS (
-      SELECT doc_id AS k, {_TOKS_SQL}[1] AS blk,
-             list_distinct({_SHINGLES_SQL}) AS sh
+    WITH banded AS (
+      SELECT DISTINCT doc_id AS k, unnest({_MINHASH_BANDS_SQL}) AS band
       FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.k AS doc_id_a, b.k AS doc_id_b
+      FROM banded a JOIN banded b USING (band)
+      WHERE a.k < b.k
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents
     )
-    SELECT a.k AS doc_id_a, b.k AS doc_id_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-    FROM w a JOIN w b USING (blk)
-    WHERE a.k < b.k
-      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    SELECT c.doc_id_a, c.doc_id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_id_a
+    JOIN sh sb ON sb.doc_id = c.doc_id_b
+    WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-generate → exact-Jaccard-verify composition (the operator's
+    default blocking since round 3 — the old first-token block is
+    near-degenerate on natural text)."""
     from hypercane_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir)

@@ -86,22 +86,30 @@ def meta_kv(html: Column | str) -> Column:
 
 
 def card_flags(html: Column | str) -> Column:
-    """struct<card_title,card_desc,card_image,card boolean> — the presence
+    """struct<card,card_title,card_desc,card_image boolean> — the presence
     flags score.card_score consumes (reference card_score.py:8-51 over the
-    scraped meta k/v)."""
-    kv = meta_kv(html)
+    scraped meta k/v).
 
-    def has(*keys: str) -> Column:
-        pred = F.lit(False)
-        for k in keys:
-            pred = pred | (
-                F.coalesce(F.element_at(kv, F.lit(k)), F.lit("")) != ""
-            )
-        return pred
+    The ``meta_kv`` fold (regexp_extract_all + per-tag aggregate) is bound
+    ONCE through a single-element transform lambda — CollapseProject cannot
+    inline a lambda variable, so the expensive subtree evaluates once per
+    row instead of once per flag reference (up to 7×; same fix as
+    hashes.simhash64_md5)."""
 
-    return F.struct(
-        has("twitter:card").alias("card"),
-        has("og:title", "twitter:title").alias("card_title"),
-        has("og:description", "twitter:description").alias("card_desc"),
-        has("og:image", "twitter:image").alias("card_image"),
-    )
+    def flags(kv: Column) -> Column:
+        def has(*keys: str) -> Column:
+            pred = F.lit(False)
+            for k in keys:
+                pred = pred | (
+                    F.coalesce(F.element_at(kv, F.lit(k)), F.lit("")) != ""
+                )
+            return pred
+
+        return F.struct(
+            has("twitter:card").alias("card"),
+            has("og:title", "twitter:title").alias("card_title"),
+            has("og:description", "twitter:description").alias("card_desc"),
+            has("og:image", "twitter:image").alias("card_image"),
+        )
+
+    return F.element_at(F.transform(F.array(meta_kv(html)), flags), 1)

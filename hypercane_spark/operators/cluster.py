@@ -72,12 +72,21 @@ def time_slice(
     return _compose(ranked, slice_id).drop("__pos")
 
 
+#: Above this many distinct dimension values the label table is no longer
+#: force-broadcast — for ``original_resource`` the dim is the full URI-R,
+#: whose cardinality can approach the row count (~1 memento per original),
+#: and an unbounded broadcast is a driver/executor OOM at corpus scale.
+BROADCAST_DIM_MAX = 1_000_000
+
+
 def _dense_dim_labels(df: DataFrame, dim_col, cluster: str) -> DataFrame:
-    """Dense 0-based label for a (comparatively tiny) distinct dimension:
-    ``select distinct dim → distributed exact rank over the dim → broadcast
-    join back``. Equivalent to ``dense_rank() over (order by dim)`` but with
-    no single-partition window — the full relation never moves to one task;
-    only the distinct dim (hosts/URI-Rs ≪ rows) is ranked and broadcast."""
+    """Dense 0-based label for a distinct dimension: ``select distinct dim →
+    distributed exact rank over the dim → join back``. Equivalent to
+    ``dense_rank() over (order by dim)`` but with no single-partition window
+    — the full relation never moves to one task. The label table is
+    broadcast only when its counted size is ≤ BROADCAST_DIM_MAX (the count
+    is one tiny job over the already-localCheckpointed ranked dim); larger
+    dims fall back to a shuffle join that AQE is free to re-plan."""
     from hypercane_spark.operators.order import with_global_rank
 
     work = df.withColumn("__dim", dim_col)
@@ -85,7 +94,9 @@ def _dense_dim_labels(df: DataFrame, dim_col, cluster: str) -> DataFrame:
     labels = with_global_rank(dim, [F.col("__dim").asc()], rank_col="__r").withColumn(
         "__lbl", F.col("__r") - 1
     ).drop("__r")
-    joined = work.join(F.broadcast(labels), on="__dim", how="left")
+    if labels.count() <= BROADCAST_DIM_MAX:
+        labels = F.broadcast(labels)
+    joined = work.join(labels, on="__dim", how="left")
     return _compose(joined, F.col("__lbl"), cluster=cluster).drop("__dim", "__lbl")
 
 
@@ -310,21 +321,29 @@ def _tfidf_matrix(texts: pd.Series) -> np.ndarray:
     return m / norms
 
 
+#: engine="auto" switches from the single-task pandas parity path to the
+#: distributed ml path above this many input rows.
+KMEANS_PANDAS_MAX_ROWS = 20_000
+
+
 def kmeans_tfidf(
     df: DataFrame,
     k: int | None = None,
     text: str = "bpfree_text",
     cluster: str = "cluster",
     seed: int = 42,
-    engine: str = "pandas",
+    engine: str = "auto",
     num_features: int = 1 << 18,
 ) -> DataFrame:
     """Global TF-IDF k-means (reference fits ONE vectorizer+KMeans over all
     docs, /root/reference/hypercane/cluster/kmeans.py:92-159).
 
-    Two engines, flag-switched:
+    Engines, flag-switched:
 
-    - ``engine="pandas"`` (default, parity path): exact dense TF-IDF +
+    - ``engine="auto"`` (default): counts the input once and picks
+      "pandas" at or below KMEANS_PANDAS_MAX_ROWS rows, "ml" above — the
+      parity path can never be handed a corpus-sized input by accident.
+    - ``engine="pandas"`` (parity path): exact dense TF-IDF +
       deterministic Lloyd's in ONE pandas group — byte-stable labels for
       the reference-parity pipelines, but a single task; only for
       story-sized inputs.
@@ -335,6 +354,8 @@ def kmeans_tfidf(
       label values, is the contract (see
       tests/test_cluster_order_score.py::test_kmeans_tfidf_engines_agree).
     """
+    if engine == "auto":
+        engine = "pandas" if df.count() <= KMEANS_PANDAS_MAX_ROWS else "ml"
     if engine == "ml":
         return _kmeans_tfidf_ml(df, k, text, cluster, seed, num_features)
     work = df.withColumn("__grp", F.lit(0))

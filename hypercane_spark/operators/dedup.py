@@ -253,22 +253,52 @@ def ngram_jaccard_pairs(
     block: F.Column | None = None,
     threshold: float = 0.8,
     shingle_n: int = 2,
+    num_perm: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs within blocking-key groups.
+    """Exact n-gram Jaccard similarity pairs, blocked so no all-pairs join
+    ever runs. Output: (key_a, key_b, jaccard).
 
-    block defaults to the first token (cheap prefix blocking); at scale use
-    minhash_lsh_candidates to *generate* blocks and this to verify. Output:
-    (key_a, key_b, jaccard)."""
-    blk = block if block is not None else F.element_at(tokens_ws(text), 1)
+    By default candidate pairs come from ``minhash_lsh_candidates`` over the
+    same shingles (the documented LSH-generate → Jaccard-verify composition)
+    — an explicit ``block`` column replaces that with single-key prefix
+    blocking. The old first-token default was near-degenerate on natural
+    text (a huge fraction of documents share "the"/"a" as token 1 → O(b²)
+    block); LSH bands bound bucket sizes by construction."""
     work = with_min_parallelism(df).select(
         F.col(key).alias("k"),
-        blk.alias("blk"),
         F.array_distinct(shingles(text, shingle_n)).alias("sh"),
     )
-    a, b = work.alias("a"), work.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    if block is None:
+        cand = minhash_lsh_candidates(
+            df, text=text, key=key, num_perm=num_perm,
+            bands=bands, shingle_n=shingle_n,
+        )
+        a = work.select(F.col("k").alias(f"{key}_a"), F.col("sh").alias("__sa"))
+        b = work.select(F.col("k").alias(f"{key}_b"), F.col("sh").alias("__sb"))
+        joined = cand.join(a, on=f"{key}_a").join(b, on=f"{key}_b")
+        pair_jac = joined.select(
+            f"{key}_a",
+            f"{key}_b",
+            F.round(
+                F.when(
+                    F.size(F.array_union("__sa", "__sb")) > 0,
+                    F.size(F.array_intersect("__sa", "__sb"))
+                    / F.size(F.array_union("__sa", "__sb")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("jaccard"),
+        )
+        return pair_jac.where(F.col("jaccard") >= threshold)
+    blocked = with_min_parallelism(df).select(
+        F.col(key).alias("k"),
+        block.alias("blk"),
+        F.array_distinct(shingles(text, shingle_n)).alias("sh"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(b, on="blk")
         .where(F.col("a.k") < F.col("b.k"))

@@ -329,30 +329,39 @@ def off_topic(
         pred = score > thr
         drop_cols.append("__first_vec")
     else:  # cosine over TF vectors — computed on the token multiset
-        # dot = Σ_t tf_a(t)·tf_b(t); norms via Σ tf².  Expressed with
-        # higher-order functions over the distinct-token union.
+        # Linear form (round-2 fix: the old per-term array rescan was
+        # O(|uniq|·|tokens|) per row — quadratic on real pages). Uses the
+        # identity  Σ_t (tf_a+tf_b)² = Σ tf_a² + Σ tf_b² + 2·dot, so
+        #   dot = (S_ab − S_a − S_b) / 2
+        # where each S is Σ tf² computed by ONE run-length aggregate over a
+        # sorted token array — O(n log n) sort + O(n) fold, all JVM-side,
+        # exact integer arithmetic until the final division.
         a, b = toks, ftoks
-        uniq = F.array_union(F.array_distinct(a), F.array_distinct(b))
-        tf = lambda arr, t: F.size(F.filter(arr, lambda x: x == t))  # noqa: E731
-        dot = F.aggregate(
-            uniq,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + tf(a, t).cast("long") * tf(b, t).cast("long"),
-        )
-        na = F.sqrt(
-            F.aggregate(
-                F.array_distinct(a),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + tf(a, t).cast("long") * tf(a, t).cast("long"),
-            ).cast("double")
-        )
-        nb = F.sqrt(
-            F.aggregate(
-                F.array_distinct(b),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + tf(b, t).cast("long") * tf(b, t).cast("long"),
-            ).cast("double")
-        )
+        zero = F.lit(0).cast("long")
+
+        def sum_sq_tf(arr: "F.Column") -> "F.Column":
+            srt = F.array_sort(arr)
+            init = F.struct(
+                F.lit("").alias("prev"), zero.alias("run"), zero.alias("acc")
+            )
+            return F.aggregate(
+                srt,
+                init,
+                lambda st, t: F.struct(
+                    t.alias("prev"),
+                    F.when(t == st["prev"], st["run"] + 1)
+                    .otherwise(F.lit(1).cast("long"))
+                    .alias("run"),
+                    F.when(t == st["prev"], st["acc"])
+                    .otherwise(st["acc"] + st["run"] * st["run"])
+                    .alias("acc"),
+                ),
+                lambda st: st["acc"] + st["run"] * st["run"],
+            )
+
+        s_a, s_b, s_ab = sum_sq_tf(a), sum_sq_tf(b), sum_sq_tf(F.concat(a, b))
+        dot = (s_ab - s_a - s_b) / F.lit(2)
+        na, nb = F.sqrt(s_a.cast("double")), F.sqrt(s_b.cast("double"))
         score = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
         pred = score > thr
 

@@ -27,21 +27,34 @@ def decode_stats(
     df: DataFrame,
     bytes_col: str = "bytes",
     keep: tuple[str, ...] = ("image_id",),
+    store=None,
 ) -> DataFrame:
     """Decode pixels and emit per-image stats:
     (…, dec_w, dec_h, mean_lum, colorcount, phash64).
 
     mapInPandas: one Arrow batch of binary payloads in, one stats batch out —
     no per-row Python dispatch. colorcount = distinct quantized RGB triples
-    (MementoEmbed's colorcount signal, imagedata.py:76)."""
+    (MementoEmbed's colorcount signal, imagedata.py:76).
+
+    ``store`` (an errors.ErrorStore) switches on skip-not-abort semantics:
+    a row whose payload fails to decode is recorded (uri, stage, traceback)
+    and dropped, and the job continues — the reference's error-store
+    contract (/root/reference/hypercane/errors.py:5-38). Without a store a
+    poisoned payload aborts the stage (the fail-fast default)."""
     from hypercane_spark.synth import average_phash, decode_image
 
+    stat_cols = ["dec_w", "dec_h", "mean_lum", "colorcount", "phash64"]
     out_schema = (
         ", ".join(f"{c} string" for c in keep)
         + ", dec_w int, dec_h int, mean_lum double, colorcount int, phash64 long"
     )
+    capture = store is not None
+    if capture:
+        out_schema += ", __err_tb string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import traceback as tb
+
         for pdf in it:
             # decode is inherently per-image; iterate with zip over the raw
             # column arrays (iterrows builds a Series per row — ~5-10× the
@@ -49,26 +62,35 @@ def decode_stats(
             rows = []
             keep_vals = [pdf[c].to_numpy() for c in keep]
             for i, b in enumerate(pdf[bytes_col]):
-                px = decode_image(bytes(b))
-                q = (px >> 4).astype(np.uint16)
-                packed = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
-                rows.append(
-                    tuple(kv[i] for kv in keep_vals)
-                    + (
+                base = tuple(kv[i] for kv in keep_vals)
+                try:
+                    px = decode_image(bytes(b))
+                    q = (px >> 4).astype(np.uint16)
+                    packed = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
+                    stats = (
                         px.shape[1],
                         px.shape[0],
                         float(px.mean()),
                         int(len(np.unique(packed))),
                         average_phash(px),
                     )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=list(keep)
-                + ["dec_w", "dec_h", "mean_lum", "colorcount", "phash64"],
-            )
+                    rows.append(base + stats + ((None,) if capture else ()))
+                except Exception:
+                    if not capture:
+                        raise
+                    rows.append(base + (None,) * 5 + (tb.format_exc(),))
+            cols = list(keep) + stat_cols + (["__err_tb"] if capture else [])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(*keep, bytes_col).mapInPandas(batches, schema=out_schema)
+    out = df.select(*keep, bytes_col).mapInPandas(batches, schema=out_schema)
+    if not capture:
+        return out
+    from hypercane_spark.errors import split_errors
+
+    annotated = out.localCheckpoint()  # one decode pass feeds both splits
+    ok, errs = split_errors(annotated, stage="decode_stats", key=keep[0])
+    store.record(errs)
+    return ok
 
 
 def resize_images(
@@ -101,7 +123,7 @@ def resize_images(
     return df.select(*keep, bytes_col).mapInPandas(batches, schema=out_schema)
 
 
-def payload_verify_udf(psnr_sample_mod: int = 1):
+def payload_verify_udf(psnr_sample_mod: int = 1, capture_errors: bool = False):
     """Scalar Arrow-batched UDF implementing the input_hint per-row fidelity
     contract: decode pixels, recompute the 64-bit average phash against the
     stored one, and measure PSNR of the decoded pixels against the
@@ -118,7 +140,12 @@ def payload_verify_udf(psnr_sample_mod: int = 1):
     the exact per-row hash check.
 
     Being a scalar pandas UDF (not mapInPandas), it rides on the fetched
-    rows in place — no extra shuffle or join to re-attach the columns."""
+    rows in place — no extra shuffle or join to re-attach the columns.
+
+    ``capture_errors`` adds an ``err`` traceback field to the struct (null
+    on success) instead of letting a poisoned payload abort the fetch —
+    the crawl engine's error-store wiring (reference errors.py:5-38)."""
+    import traceback as tb
     import zlib
 
     from hypercane_spark.synth import (
@@ -128,33 +155,51 @@ def payload_verify_udf(psnr_sample_mod: int = 1):
         psnr,
     )
 
-    @F.pandas_udf("phash_ok boolean, psnr_db double")
+    schema = "phash_ok boolean, psnr_db double" + (
+        ", err string" if capture_errors else ""
+    )
+
+    @F.pandas_udf(schema)
     def verify(
         image_id: pd.Series, data: pd.Series, phash: pd.Series
     ) -> pd.DataFrame:
-        oks, psnrs = [], []
-        for iid, b, p in zip(image_id, data, phash):
+        oks, psnrs, errs = [], [], []
+
+        def row(iid, b, p):
             if b is None:
-                oks.append(None)
-                psnrs.append(None)
-                continue
+                return None, None
             px = decode_image(bytes(b))
-            oks.append(average_phash(px) == p)
+            ok = average_phash(px) == p
             sampled = (
                 psnr_sample_mod <= 1
                 or zlib.crc32(str(iid).encode()) % psnr_sample_mod == 0
             )
             if not sampled:
-                psnrs.append(None)
-                continue
+                return ok, None
             i = int(str(iid).rsplit("-", 1)[-1])
             truth = (
                 np.random.RandomState(SEED + i)
                 .randint(0, 256, size=px.shape, dtype=np.int64)
                 .astype(np.uint8)
             )
-            psnrs.append(min(psnr(truth, px), 1e9))
-        return pd.DataFrame({"phash_ok": oks, "psnr_db": psnrs})
+            return ok, min(psnr(truth, px), 1e9)
+
+        for iid, b, p in zip(image_id, data, phash):
+            if capture_errors:
+                try:
+                    ok, ps = row(iid, b, p)
+                    errs.append(None)
+                except Exception:
+                    ok, ps = None, None
+                    errs.append(tb.format_exc())
+            else:
+                ok, ps = row(iid, b, p)
+            oks.append(ok)
+            psnrs.append(ps)
+        out = {"phash_ok": oks, "psnr_db": psnrs}
+        if capture_errors:
+            out["err"] = errs
+        return pd.DataFrame(out)
 
     return verify
 

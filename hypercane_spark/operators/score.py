@@ -317,12 +317,17 @@ def generate_queries(
         for pdf in it:
             if not len(pdf):
                 continue
-            yield pd.DataFrame(
+            res = pd.DataFrame(
                 {
                     key: pdf[key].astype(str),
                     out: generator([str(t) for t in pdf[text]]),
                 }
             )
+            # a document whose tokens are all stopwords (or empty text)
+            # yields no query — drop it, matching the reference's skip of
+            # unusable documents (and the GROUP-BY-terms SQL oracle, which
+            # never emits a row for a doc with zero surviving terms)
+            yield res[res[out].fillna("") != ""]
 
     return df.select(key, text).mapInPandas(
         batches, schema=f"{key} string, {out} string"

@@ -128,12 +128,13 @@ def dsa3(
     offtopic_measure: str = "cosine",
     dbscan_eps: float = 1.3,
     k_entities: int = 5,
-    kmeans_engine: str = "pandas",
+    kmeans_engine: str = "auto",
 ) -> Pipeline:
-    """``kmeans_engine="ml"`` switches the kmeans-tfidf stage to the
-    distributed HashingTF+IDF+pyspark.ml.KMeans path (no single-task ML
-    stage — required when the pipeline input is corpus-sized, not
-    story-sized); "pandas" keeps the byte-stable parity labels."""
+    """``kmeans_engine``: "auto" (default) counts the stage input and uses
+    the byte-stable pandas parity labels only at story scale, switching to
+    the distributed HashingTF+IDF+pyspark.ml.KMeans path above
+    cluster.KMEANS_PANDAS_MAX_ROWS rows (no single-task ML stage on a
+    corpus-sized input); "pandas"/"ml" force either path."""
     stages = [
         ("exclude-off-topic", lambda df: off_topic(df, measure=offtopic_measure)),
         ("exclude-near-duplicates", lambda df: near_duplicates(df)),
@@ -156,7 +157,7 @@ def dsa3(
 
 
 @register("dsa4")
-def dsa4(kmeans_engine: str = "pandas") -> Pipeline:
+def dsa4(kmeans_engine: str = "auto") -> Pipeline:
     """See dsa3 for the ``kmeans_engine`` flag."""
     stages = [
         ("kmeans-mdt", lambda df: kmeans_mdt(df)),

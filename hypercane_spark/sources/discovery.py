@@ -143,12 +143,104 @@ def timegate_negotiate(
     return work.select(urir, "__h").mapInPandas(batches, schema=out_schema)
 
 
+def timemap_fetch(
+    df: DataFrame,
+    fetcher=None,
+    retries: int = 3,
+    backoff: float = 0.1,
+    urit: str = "urit",
+    batch_hosts_sorted: bool = True,
+) -> DataFrame:
+    """Live TimeMap fan-out: download each URI-T, explode its mementos
+    (reference /root/reference/hypercane/identify/__init__.py:66-108
+    ``download_urits`` → ``extract_urims_from_TimeMap``; retry/backoff per
+    request, /root/reference/hypercane/utils.py:95-104).
+
+    ``fetcher`` is the network plug-point: a callable
+    ``(urit: str) -> {"urir": str, "mementos": [(datetime, urim), …]} | None``
+    invoked per row inside mapInPandas with ``retries`` attempts and
+    exponential ``backoff`` between them (the reference's retry loop).
+    A row whose fetch exhausts retries or returns None is dropped — the
+    reference records the failure and skips (errors.py contract; compose
+    with errors.ErrorStore at the call site to keep the records).
+    This sandbox has no network, so there is NO default fetcher; the
+    offline path is ``load_input('timemaps', …, tables={'timemaps': df})``.
+    ``batch_hosts_sorted`` sorts each Arrow batch by the URI-T's host so a
+    politeness-aware client sees grouped hosts (same shape as
+    ``timegate_negotiate``)."""
+    if fetcher is None:
+        raise NotImplementedError(
+            "live TimeMap download needs a network client: pass "
+            "fetcher=(urit) -> {'urir', 'mementos': [(datetime, urim)…]}|None; "
+            "offline, use load_input('timemaps', …, tables={'timemaps': df})"
+        )
+    import time as _time
+
+    import pandas as pd
+
+    from hypercane_spark.functions.urls import url_host
+
+    work = df.select(urit).distinct().withColumn("__h", url_host(F.col(urit)))
+    out_schema = (
+        f"{urit} string, urir string, tm_pos int, "
+        "memento_datetime timestamp, urim string"
+    )
+
+    def one(t: str):
+        for attempt in range(retries):
+            try:
+                return fetcher(t)
+            except Exception:
+                if attempt == retries - 1:
+                    return None
+                _time.sleep(backoff * (2 ** attempt))
+        return None
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if batch_hosts_sorted:
+                pdf = pdf.sort_values(["__h", urit], kind="mergesort")
+            rows = []
+            for t in pdf[urit]:
+                res = one(str(t))
+                if res is None:
+                    continue
+                for pos, (dt, urim) in enumerate(res.get("mementos", [])):
+                    rows.append((str(t), res.get("urir"), pos, dt, urim))
+            yield pd.DataFrame(
+                rows,
+                columns=[urit, "urir", "tm_pos", "memento_datetime", "urim"],
+            )
+
+    return work.mapInPandas(batches, schema=out_schema)
+
+
+def urits_from_link_headers(
+    df: DataFrame, link: str = "link_header", out: str = "urit"
+) -> DataFrame:
+    """URI-M → URI-T: extract the ``rel="timemap"`` target from an HTTP
+    Link header column (reference
+    /root/reference/hypercane/identify/__init__.py:110-147 reads
+    ``memento_client``'s parsed Link relations per URI-M). Pure Catalyst
+    regexp over the raw header string — rows without a timemap relation are
+    dropped. The header column itself comes from the fetch stage (plug a
+    HEAD client into timegate_negotiate/timemap_fetch to populate it)."""
+    # <target>; … rel="… timemap …"  (rel may list several space-separated
+    # relation types; quotes optional per RFC 8288)
+    pat = r'<([^>]*)>\s*;[^,<]*rel="?[^",]*\btimemap\b[^",]*"?'
+    extracted = df.withColumn(out, F.regexp_extract(F.col(link), pat, 1))
+    return extracted.where(F.col(out) != "")
+
+
 def load_input(
     spark: SparkSession,
     kind: str,
     arg: str,
     tables: dict[str, DataFrame] | None = None,
     collection_id: str | int | None = None,
+    fetcher=None,
 ) -> DataFrame:
     """Route an input spec to a mementos DataFrame (urim-keyed) — the
     analogue of the reference's input dispatcher.
@@ -193,9 +285,14 @@ def load_input(
                 urits.select(F.col("URI-T").alias("urit")), on="urit", how="left_semi"
             )
             return explode_timemaps(tm)
+        if fetcher is not None:  # live branch: download + explode
+            return timemap_fetch(
+                urits.select(F.col("URI-T").alias("urit")), fetcher=fetcher
+            )
         raise NotImplementedError(
             "live TimeMap download needs a fetch stage; provide "
-            "tables={'timemaps': df} for the offline path"
+            "tables={'timemaps': df} for the offline path or pass "
+            "fetcher=… (see timemap_fetch) for the live one"
         )
     if kind == "original-resources":
         urirs = read_tsv_resource(spark, arg, key_field="URI-R")

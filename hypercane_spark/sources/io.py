@@ -53,18 +53,72 @@ def read_tsv_resource(
     return out.drop("__file")
 
 
-def write_ors(df: DataFrame, path: str, order_col: str = "rank") -> None:
+#: Typed column → reference ORS header names (the exact strings the
+#: reference's DictWriter emits, save_resource_data
+#: /root/reference/hypercane/utils.py:765-811 + per-scorer ``Score---*``
+#: keys, e.g. dsa1_score.py:597, card_score.py:79,
+#: distance_from_centroid.py:74, document_size.py:28-68, bm25 'Score---BM25').
+REFERENCE_ORS_HEADER = {
+    "urim": "URI-M",
+    "urit": "URI-T",
+    "urir": "URI-R",
+    "cluster": "Cluster",
+    "dsa1_score": "Score---DSA1-Score",
+    "dsa2_score": "Score---DSA2-Score",
+    "bm25_score": "Score---BM25",
+    "card_score": "Score---Card-Score",
+    "path_depth": "Score---PathDepth",
+    "url_category_score": "Score---URLCategoryScore",
+    "image_count": "Score---ImageCount",
+    "centroid_distance": "Score---KMeans-Cluster-Centroid",
+    "bpfree_len": "Score---BoilerplateFreeCharacterSize",
+    "char_size": "Score---CharacterSize",
+    "word_size": "Score---WordSize",
+    "sentence_size": "Score---SentenceSize",
+    "byte_size": "Score---ByteSize",
+}
+
+
+def write_ors(
+    df: DataFrame,
+    path: str,
+    order_col: str = "rank",
+    reference_header: bool = False,
+    header_map: dict[str, str] | None = None,
+) -> None:
     """ORS/TSV sink: the output *order is the contract*
     (/root/reference/hypercane/utils.py:765-811 writes rows in sampled
     order). Rows are sorted by the rank column and written as one TSV part
     (samples are small by construction — they are the story output, not the
-    corpus)."""
+    corpus).
+
+    ``reference_header=True`` renames columns to the reference's exact
+    DictWriter field names (``URI-M``/``Cluster``/``Score---*`` — see
+    REFERENCE_ORS_HEADER) so reference-consuming tooling parses the file
+    byte-for-byte; ``header_map`` adds/overrides mappings. Unmapped columns
+    keep their typed names."""
     cols = [c for c in df.columns if not c.startswith("__")]
     ordered = df.orderBy(F.col(order_col).asc()).select(*cols)
     rows = ordered.collect()
+    names = cols
+    if reference_header:
+        mapping = dict(REFERENCE_ORS_HEADER)
+        if header_map:
+            mapping.update(header_map)
+        names = [mapping.get(c, c) for c in cols]
+        # the reference writes the key column first (fieldnames = [type_key,
+        # …]); keep URI-M leading if present
+        for key in ("URI-M", "URI-T", "URI-R"):
+            if key in names:
+                order = [names.index(key)] + [
+                    i for i in range(len(names)) if names[i] != key
+                ]
+                names = [names[i] for i in order]
+                rows = [tuple(r[i] for i in order) for r in rows]
+                break
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        f.write("\t".join(cols) + "\n")
+        f.write("\t".join(names) + "\n")
         for r in rows:
             f.write("\t".join("" if v is None else str(v) for v in r) + "\n")
 

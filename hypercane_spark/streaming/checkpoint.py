@@ -5,9 +5,17 @@ jars; on a real cluster these writes become ``writeTo(...).createOrReplace``
 table snapshots with the same round metadata):
 
     <base>/round=N/frontier.parquet
-    <base>/round=N/seen.parquet
+    <base>/round=N/seen_delta.parquet   (ONLY this round's newly-seen surts)
     <base>/round=N/fetched.parquet      (per-round fetch output, lineage cols)
     <base>/round=N/manifest.json        (counts + per-stage timings)
+
+The seen set is APPEND-ONLY: each round persists only its delta (the surts
+selected that round, disjoint from all earlier rounds by the frontier's
+anti-join), and the reader unions the delta directories — one multi-path
+parquet scan, no shuffle. The old shape rewrote the entire seen table every
+round: O(|seen|) × rounds, the dominant checkpoint cost at the 10^10-URL
+design scale (reference contrast: the O(n) in-memory list it replaces,
+/root/reference/hypercane/identify/archivecrawl.py:13-24).
 
 Resume reads the highest complete round (or any explicit round) and
 reconstructs frontier + seen exactly — the BASELINE.md resume criterion.
@@ -33,10 +41,14 @@ class RoundCheckpoint:
         self,
         rnd: int,
         frontier: DataFrame,
-        seen: DataFrame,
+        seen_delta: DataFrame,
         fetched: DataFrame | None,
         metrics: dict,
     ) -> None:
+        """``seen_delta`` must hold only surts first seen THIS round — the
+        reader unions deltas across rounds; writing the full set here would
+        double-count nothing (union semantics) but re-introduce the
+        O(|seen|)-per-round write this layout exists to avoid."""
         d = self._dir(rnd)
         # independent tables → concurrent jobs (Spark's scheduler interleaves
         # them across the same executors; the driver threads just overlap
@@ -45,7 +57,7 @@ class RoundCheckpoint:
 
         jobs = [
             (frontier, os.path.join(d, "frontier.parquet")),
-            (seen, os.path.join(d, "seen.parquet")),
+            (seen_delta, os.path.join(d, "seen_delta.parquet")),
         ]
         if fetched is not None:
             jobs.append((fetched, os.path.join(d, "fetched.parquet")))
@@ -92,17 +104,34 @@ class RoundCheckpoint:
         with open(os.path.join(self._dir(rnd), "manifest.json")) as f:
             return json.load(f)
 
+    def _seen_paths(self, upto: int) -> list[str]:
+        return [
+            p
+            for r in self.rounds()
+            if r <= upto
+            for p in [os.path.join(self._dir(r), "seen_delta.parquet")]
+            if os.path.isdir(p)
+        ]
+
     def read(
         self, spark: SparkSession, rnd: int | None = None
     ) -> tuple[int, DataFrame, DataFrame]:
-        """→ (round, frontier, seen). rnd=None → latest complete round."""
+        """→ (round, frontier, seen). rnd=None → latest complete round.
+        seen = union of all per-round delta directories ≤ rnd (one
+        multi-path scan); legacy full-table ``seen.parquet`` checkpoints are
+        still readable."""
         rounds = self.rounds()
         if not rounds:
             raise FileNotFoundError(f"no complete rounds under {self.base}")
         rnd = rounds[-1] if rnd is None else rnd
         d = self._dir(rnd)
+        delta_paths = self._seen_paths(rnd)
+        if delta_paths:
+            seen = spark.read.parquet(*delta_paths)
+        else:  # pre-delta layout: full seen table at the round itself
+            seen = spark.read.parquet(os.path.join(d, "seen.parquet"))
         return (
             rnd,
             spark.read.parquet(os.path.join(d, "frontier.parquet")),
-            spark.read.parquet(os.path.join(d, "seen.parquet")),
+            seen,
         )

@@ -101,6 +101,7 @@ class CrawlEngine:
         images: DataFrame | None = None,
         checkpoint_dir: str | None = None,
         config: CrawlConfig | None = None,
+        errors_dir: str | None = None,
     ):
         self.spark = spark
         self.web = web
@@ -108,6 +109,16 @@ class CrawlEngine:
         self.images = images
         self.cfg = config or CrawlConfig()
         self.ckpt = RoundCheckpoint(checkpoint_dir) if checkpoint_dir else None
+        # errors_dir switches the fetch stage to the reference's skip-not-
+        # abort contract (errors.py:5-38): a payload that fails to decode/
+        # verify is recorded (uri, stage, traceback) and dropped; the crawl
+        # continues. Requires verify_payload (that's where decode happens).
+        if errors_dir:
+            from hypercane_spark.errors import ErrorStore
+
+            self.errors: "ErrorStore | None" = ErrorStore(errors_dir)
+        else:
+            self.errors = None
         self.metrics: list[RoundMetrics] = []
         # incremental seen-filter: OR-updated with each round's newly seen
         # keys (blooms compose under OR), so the per-round build cost is
@@ -253,14 +264,21 @@ class CrawlEngine:
                     payload_verify_udf,
                 )
 
+                capture = self.errors is not None
                 v = payload_verify_udf(
-                    psnr_sample_mod=self.cfg.psnr_sample_mod
+                    psnr_sample_mod=self.cfg.psnr_sample_mod,
+                    capture_errors=capture,
                 )(
                     F.col("image_id"), F.col("bytes"), F.col("phash")
                 )
+                fields = ["__v.phash_ok", "__v.psnr_db"] + (
+                    ["__v.err"] if capture else []
+                )
                 fetched = fetched.withColumn("__v", v).select(
-                    "*", "__v.phash_ok", "__v.psnr_db"
+                    "*", *fields
                 ).drop("__v")
+                if capture:
+                    fetched = fetched.withColumnRenamed("err", "fetch_err")
         return (
             fetched.withColumn("round", F.lit(rnd))
             .withColumn("fetch_ts", F.current_timestamp())
@@ -372,16 +390,39 @@ class CrawlEngine:
                 # (persisting them as JVM objects caused round-0 GC storms).
                 self.ckpt.write_fetched(rnd, fetched_full)
                 fetched = self.ckpt.read_fetched(spark, rnd)
-                m.selected = fetched.count()
             else:
                 fetched = fetched_full.persist()
-                m.selected = fetched.count()
+            if self.errors is not None and "fetch_err" in fetched.columns:
+                # skip-not-abort: poisoned payloads land in the errors
+                # table and drop out of the crawl output; their surts are
+                # still marked seen (via selected) so they are never
+                # retried — the reference's record-and-skip contract.
+                bad = fetched.where(F.col("fetch_err").isNotNull())
+                self.errors.record(
+                    bad.select(
+                        F.col("urim").alias("uri"),
+                        F.lit("fetch").alias("stage"),
+                        F.col("fetch_err").alias("traceback"),
+                    )
+                )
+                fetched = fetched.where(F.col("fetch_err").isNull()).drop(
+                    "fetch_err"
+                )
+            m.selected = fetched.count()
             m.timings["fetch"] = time.time() - t
             if m.selected == 0:
-                selected.unpersist(blocking=False)
-                if not self.ckpt:
-                    fetched.unpersist(blocking=False)
-                break
+                # |fetched| == |selected| only when selected ⊆ web (links
+                # are inner-joined to web; that invariant does NOT cover
+                # user-supplied seeds absent from the web table). Seeds that
+                # miss the web give selected > 0, fetched == 0 — those rows
+                # must still be marked seen and the deferred rows must keep
+                # crawling, so only a genuinely empty selection stops the
+                # engine. The isEmpty probe runs only on fetched==0 rounds.
+                if selected.isEmpty():
+                    selected.unpersist(blocking=False)
+                    if not self.ckpt:
+                        fetched.unpersist(blocking=False)
+                    break
 
             t = time.time()
             if self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo":
@@ -418,9 +459,14 @@ class CrawlEngine:
                         self.cfg.bloom_hashes,
                     ),
                 )
-            new_seen = seen.unionByName(
-                selected.select(F.col("__surt").alias("surt"))
-            ).distinct()
+            # Append-only seen semantics: this round's delta is the selected
+            # surts (distinct within the round; disjoint from `seen` by
+            # construction — every candidate passed the seen anti-join, and
+            # the bloom/cuckoo prefilters have no false negatives on the
+            # paths that skip it). The union IS the seen set; nothing is
+            # ever rewritten.
+            delta = selected.select(F.col("__surt").alias("surt")).distinct()
+            new_seen = seen.unionByName(delta)
             links = self._extract_links(fetched, new_seen, rnd)
             next_frontier = (
                 deferred.drop("__surt")
@@ -438,10 +484,16 @@ class CrawlEngine:
 
             t = time.time()
             if self.ckpt:
+                # Only the DELTA is written — the old shape persisted the
+                # entire seen table every round, an O(|seen|) shuffle +
+                # parquet rewrite × rounds that dominates at the 10^10
+                # design scale (measured 7.4 s of a 21.9 s sandbox crawl).
+                # The reader unions the per-round delta directories; resume
+                # semantics are unchanged.
                 self.ckpt.write(
                     rnd,
                     next_frontier,
-                    new_seen,
+                    delta,
                     None,  # fetched already written at fetch time
                     {
                         "candidates": m.candidates,
@@ -453,12 +505,17 @@ class CrawlEngine:
                 _, frontier, seen = self.ckpt.read(spark, rnd)
             else:
                 frontier = next_frontier.localCheckpoint()
-                seen = new_seen.localCheckpoint()
+                # materialize only the delta; the union view over the
+                # already-checkpointed per-round deltas is the seen set
+                seen = seen.unionByName(delta.localCheckpoint())
             m.timings["checkpoint"] = time.time() - t
             if self.cfg.collect_metrics:
                 m.seen_size = seen.count()
             m.new_links = 0
-            fetched_parts.append(fetched)
+            if m.selected:
+                fetched_parts.append(fetched)
+            elif not self.ckpt:
+                fetched.unpersist(blocking=False)  # empty seed-miss round
             self.metrics.append(m)
             # round state now lives in the checkpoint (or the fetched
             # cache); dropping the per-round selected cache keeps storage

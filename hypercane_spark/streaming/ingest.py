@@ -109,15 +109,26 @@ def stream_frontier_merge(
                 pass  # no seen table yet → everything is new
         # cross-batch dedup: a urim discovered in an EARLIER micro-batch of
         # this same query is already in the frontier table but not in seen —
-        # anti-join the existing frontier so it isn't appended twice
+        # anti-join the existing frontier so it isn't appended twice. Keyed
+        # on SURT (persisted in the table; recomputed for pre-existing
+        # tables without it) so two urims canonicalizing to the same surt
+        # arriving in different micro-batches also collapse — the same
+        # dedup key the seen table uses.
         try:
             existing = spark.read.parquet(frontier_dir)
+            ex_surt = (
+                existing.select(F.col("surt"))
+                if "surt" in existing.columns
+                else existing.select(surt_key(F.col("urim")).alias("surt"))
+            )
             work = work.join(
-                existing.select("urim"), on="urim", how="left_anti"
+                ex_surt, work["__surt"] == ex_surt["surt"], "left_anti"
             )
         except Exception:
             pass  # frontier table doesn't exist yet
-        work.drop("__surt").write.mode("append").parquet(frontier_dir)
+        work.withColumnRenamed("__surt", "surt").write.mode("append").parquet(
+            frontier_dir
+        )
 
     return (
         discovered.writeStream.foreachBatch(ingest)
