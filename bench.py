@@ -61,6 +61,10 @@ HEADLINE = [
     "report_sumgrams",
     "report_entity_freq",
     "html_boilerplate_free",
+    # round-3 operators
+    "filter_off_topic_cosine",
+    "agg_growth_auc",
+    "dedup_ngram_jaccard",
 ]
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))
@@ -245,6 +249,13 @@ def run_crawl(spark) -> dict:
     for m in eng.metrics:
         for k, v in m.timings.items():
             stage_timings[k] = round(stage_timings.get(k, 0.0) + v, 3)
+    # per-round series: the append-only seen-delta checkpoint claim is that
+    # checkpoint time does NOT grow with |seen| across rounds — the series
+    # is the evidence (tools/bench_scaling.py asserts on it)
+    stage_rounds = {
+        k: [round(m.timings.get(k, 0.0), 3) for m in eng.metrics]
+        for k in stage_timings
+    }
     return {
         "n_urls": CRAWL_N_URLS,
         "rounds": len(eng.metrics),
@@ -253,6 +264,7 @@ def run_crawl(spark) -> dict:
         "mementos_per_sec": round(n_fetched / wall, 1),
         "fidelity": fidelity,
         "stage_s": stage_timings,
+        "stage_rounds_s": stage_rounds,
     }
 
 

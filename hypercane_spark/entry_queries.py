@@ -27,6 +27,16 @@ from hypercane_spark.sources.io import load_tables
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+try:  # VALUES-frozen oracles for deterministic non-SQL-expressible queries
+    from hypercane_spark.frozen_oracles import FROZEN as _FROZEN
+except Exception:  # pragma: no cover - generated file absent
+    _FROZEN = {}
+
+
+def _frozen(name: str) -> str | None:
+    """Oracle from the generated frozen-VALUES module (None → rows-only)."""
+    return _FROZEN.get(name)
+
 
 def q(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -420,7 +430,7 @@ def filter_off_topic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("filter_near_duplicates", None)  # order-dependent scan: no SQL form
+@q("filter_near_duplicates", _frozen("filter_near_duplicates"))
 def filter_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.functions.hashes import tf_simhash64
     from hypercane_spark.operators.filters import near_duplicates
@@ -432,7 +442,7 @@ def filter_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
-@q("sample_oversample_det", None)  # driver-RNG batch draws: no SQL form
+@q("sample_oversample_det", _frozen("sample_oversample_det"))
 def sample_oversample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.operators.sample import random_oversample
 
@@ -1200,7 +1210,7 @@ def filter_cluster_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
-@q("cluster_kmeans_mdt", None)  # sklearn-parity applyInPandas: no SQL form
+@q("cluster_kmeans_mdt", _frozen("cluster_kmeans_mdt"))
 def cluster_kmeans_mdt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.operators.cluster import kmeans_mdt
 
@@ -1208,7 +1218,7 @@ def cluster_kmeans_mdt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_mdt(m.drop("cluster"), k=6).select("urim", "cluster")
 
 
-@q("cluster_dbscan_simhash", None)  # applyInPandas: no SQL form
+@q("cluster_dbscan_simhash", _frozen("cluster_dbscan_simhash"))
 def cluster_dbscan_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.operators.cluster import dbscan_simhash
 
@@ -1216,7 +1226,7 @@ def cluster_dbscan_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_simhash(m.drop("cluster")).select("urim", "cluster")
 
 
-@q("score_centroid_distance", None)  # per-group TF-IDF centroid: no SQL form
+@q("score_centroid_distance", _frozen("score_centroid_distance"))
 def score_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.operators.score import distance_from_centroid
 
@@ -1224,16 +1234,25 @@ def score_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster", (F.col("doc_id") % 4).cast("string")
     )
     out = distance_from_centroid(m, text="text")
-    return out.select("urim", "cluster", "centroid_distance")
+    return out.select(
+        "urim",
+        "cluster",
+        F.round(F.col("centroid_distance"), 6).alias("centroid_distance"),
+    )
 
 
-@q("pipeline_dsa4", None)
+@q("pipeline_dsa4", _frozen("pipeline_dsa4"))
 def pipeline_dsa4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.plans import dsa4
 
     m = _pipeline_mementos(spark, sf_dir)
     out = dsa4().run(m)
-    return out.select("urim", "cluster", "centroid_distance", "rank")
+    return out.select(
+        "urim",
+        "cluster",
+        F.round(F.col("centroid_distance"), 6).alias("centroid_distance"),
+        "rank",
+    )
 
 
 @q(
@@ -1411,35 +1430,41 @@ def _pipeline_mementos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("pipeline_dsa1", None)
+@q("pipeline_dsa1", _frozen("pipeline_dsa1"))
 def pipeline_dsa1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.plans import dsa1
 
     m = _pipeline_mementos(spark, sf_dir)
     out = dsa1(k_slices=8).run(m)
-    return out.select("urim", "cluster", "dsa1_score", "rank")
+    return out.select(
+        "urim", "cluster", F.round(F.col("dsa1_score"), 6).alias("dsa1_score"), "rank"
+    )
 
 
-@q("pipeline_dsa2", None)
+@q("pipeline_dsa2", _frozen("pipeline_dsa2"))
 def pipeline_dsa2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.plans import dsa2
 
     # reduced subset: LDA + per-group kmeans are the expensive ML stages
     m = _pipeline_mementos(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
     out = dsa2(num_topics=5).run(m)
-    return out.select("urim", "cluster", "dsa2_score", "rank")
+    return out.select(
+        "urim", "cluster", F.round(F.col("dsa2_score"), 6).alias("dsa2_score"), "rank"
+    )
 
 
-@q("pipeline_dsa3", None)
+@q("pipeline_dsa3", _frozen("pipeline_dsa3"))
 def pipeline_dsa3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.plans import dsa3
 
     m = _pipeline_mementos(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
     out = dsa3().run(m)
-    return out.select("urim", "cluster", "bm25_score", "rank")
+    return out.select(
+        "urim", "cluster", F.round(F.col("bm25_score"), 6).alias("bm25_score"), "rank"
+    )
 
 
-@q("pipeline_filtered_random", None)
+@q("pipeline_filtered_random", _frozen("pipeline_filtered_random"))
 def pipeline_filtered_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.plans import filtered_random
 
@@ -1882,7 +1907,7 @@ def filter_off_topic_topic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@q("cluster_dbscan_lda", None)
+@q("cluster_dbscan_lda", _frozen("cluster_dbscan_lda"))
 def cluster_dbscan_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster LDA doc-topic vectors → DBSCAN (reference
     dbscan.py:311-459); deterministic collapsed-Gibbs stand-in for gensim,
@@ -1896,7 +1921,7 @@ def cluster_dbscan_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cluster")
 
 
-@q("cluster_kmeans_tfidf_ml", None)
+@q("cluster_kmeans_tfidf_ml", _frozen("cluster_kmeans_tfidf_ml"))
 def cluster_kmeans_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed HashingTF+IDF+KMeans path of kmeans_tfidf (engine='ml');
     rows-only gate (hashed-feature k-means labels are not SQL-expressible)."""
@@ -1906,7 +1931,13 @@ def cluster_kmeans_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     out = kmeans_tfidf(d, k=8, text="text", engine="ml")
-    return out.select("doc_id", "cluster")
+    # canonical label = min doc_id in the cluster: the PARTITION is the
+    # contract (ml label ids are arbitrary, like the reference's sklearn)
+    canon = out.groupBy("cluster").agg(F.min("doc_id").alias("__canon"))
+    return (
+        out.join(canon, on="cluster")
+        .select("doc_id", F.col("__canon").cast("string").alias("cluster"))
+    )
 
 
 @q(

@@ -65,6 +65,13 @@ class CrawlConfig:
     per_host_budget: int = 4
     max_depth: int = 3
     max_rounds: int = 50
+    # round_seconds: when set (and a robots table provides crawl_delay),
+    # the per-host budget is additionally capped at
+    # max(1, floor(round_seconds / crawl_delay)) — a host asking for a 30 s
+    # delay gets at most round_seconds/30 fetches per round instead of the
+    # full budget. None = budget-only politeness (the reference has neither;
+    # robots handling is north_rule-new behavior).
+    round_seconds: float | None = None
     salt_hot_hosts: int = 1  # >1 splits hot-host queues for fetch parallelism
     bloom_bits: int = 1 << 20
     bloom_hashes: int = 5
@@ -81,7 +88,11 @@ class RoundMetrics:
     round: int = 0
     candidates: int = 0
     allowed: int = 0
+    # `selected` is measured as the FETCHED row count (selected ⊆ web ⇒
+    # equal for link-derived rows; may undercount when user seeds miss the
+    # web table or error rows are skipped) — `fetched` is the honest alias
     selected: int = 0
+    fetched: int = 0
     new_links: int = 0
     seen_size: int = 0
     timings: dict = field(default_factory=dict)
@@ -197,7 +208,24 @@ class CrawlEngine:
         host instead of the full queue. Same selected set, same order:
         any row in the true per-host top-budget is in its salt's top-budget.
         Deferred rows (beyond budget) skip phase 1 by construction — they
-        are recovered by anti-joining selected against allowed."""
+        are recovered by anti-joining selected against allowed.
+
+        With ``cfg.round_seconds`` set and a ``crawl_delay`` column present
+        (robots_gate carries it), the per-host cap becomes
+        ``min(budget, max(1, floor(round_seconds / crawl_delay)))`` — the
+        crawl-delay directive translated into this engine's round-batched
+        schedule (delay ≤ 0 / absent → plain budget; the max(1,…) floor
+        guarantees progress). crawl_delay is constant per host, so the cap
+        is still a single window filter."""
+        budget = F.lit(self.cfg.per_host_budget)
+        if self.cfg.round_seconds and "crawl_delay" in allowed.columns:
+            by_delay = F.floor(
+                F.lit(float(self.cfg.round_seconds)) / F.col("crawl_delay")
+            ).cast("int")
+            budget = F.when(
+                F.col("crawl_delay") > 0,
+                F.least(budget, F.greatest(F.lit(1), by_delay)),
+            ).otherwise(budget)
         w = Window.partitionBy("host").orderBy(
             F.col("priority").desc(), F.col("urim").asc()
         )
@@ -209,12 +237,12 @@ class CrawlEngine:
             pruned = (
                 allowed.withColumn("__salt", salt)
                 .withColumn("__rn1", F.row_number().over(w1))
-                .where(F.col("__rn1") <= self.cfg.per_host_budget)
+                .where(F.col("__rn1") <= budget)
                 .drop("__rn1", "__salt")
             )
             selected = (
                 pruned.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") <= self.cfg.per_host_budget)
+                .where(F.col("__rn") <= budget)
                 .drop("__rn")
             )
             deferred = allowed.join(
@@ -222,12 +250,8 @@ class CrawlEngine:
             )
             return selected, deferred
         ranked = allowed.withColumn("__rn", F.row_number().over(w))
-        selected = ranked.where(F.col("__rn") <= self.cfg.per_host_budget).drop(
-            "__rn"
-        )
-        deferred = ranked.where(F.col("__rn") > self.cfg.per_host_budget).drop(
-            "__rn"
-        )
+        selected = ranked.where(F.col("__rn") <= budget).drop("__rn")
+        deferred = ranked.where(F.col("__rn") > budget).drop("__rn")
         return selected, deferred
 
     def _fetch(self, selected: DataFrame, rnd: int) -> DataFrame:
@@ -408,7 +432,7 @@ class CrawlEngine:
                 fetched = fetched.where(F.col("fetch_err").isNull()).drop(
                     "fetch_err"
                 )
-            m.selected = fetched.count()
+            m.selected = m.fetched = fetched.count()
             m.timings["fetch"] = time.time() - t
             if m.selected == 0:
                 # |fetched| == |selected| only when selected ⊆ web (links

@@ -1,0 +1,395 @@
+"""Round-3 features: error store (skip-not-abort), live TimeMap fetch
+shape, Link-header URI-T extraction, ORS reference header, growth-curve
+AUC, LSH-blocked jaccard, linear off-topic cosine, surt-keyed streaming
+dedup, seed-miss frontier advancement, append-only seen checkpoints."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- error store
+
+def test_error_store_record_read_exclude(spark, tmp_path):
+    from hypercane_spark.errors import ErrorStore
+
+    store = ErrorStore(str(tmp_path / "errors"))
+    errs = spark.createDataFrame(
+        [("u1", "fetch", "Traceback: boom")], "uri string, stage string, traceback string"
+    )
+    store.record(errs)
+    got = store.read(spark).collect()
+    assert len(got) == 1 and got[0]["uri"] == "u1" and got[0]["ts"] is not None
+
+    df = spark.createDataFrame([("u1",), ("u2",)], "urim string")
+    left = store.exclude(df).collect()
+    assert [r["urim"] for r in left] == ["u2"]
+
+
+def test_run_stage_skips_failing_rows(spark, tmp_path):
+    from hypercane_spark.errors import ErrorStore, run_stage
+
+    store = ErrorStore(str(tmp_path / "errors2"))
+    df = spark.createDataFrame(
+        [("a", 4), ("b", -1), ("c", 9)], "urim string, v int"
+    )
+
+    def measure(rec):
+        return {"sqrt_v": math.sqrt(rec["v"])}  # raises on -1
+
+    ok = run_stage(df, measure, [("sqrt_v", "double")], "measure", store=store)
+    got = {r["urim"]: r["sqrt_v"] for r in ok.collect()}
+    assert got == {"a": 2.0, "c": 3.0}
+    errs = store.read(spark).collect()
+    assert len(errs) == 1 and errs[0]["uri"] == "b" and errs[0]["stage"] == "measure"
+    assert "math domain error" in errs[0]["traceback"]
+
+
+def test_decode_stats_poisoned_row_recorded_not_aborting(spark, tmp_path):
+    from hypercane_spark.errors import ErrorStore
+    from hypercane_spark.operators.multimodal import decode_stats
+    from hypercane_spark.synth import encode_image
+
+    px = np.full((4, 4, 3), 7, dtype=np.uint8)
+    rows = [
+        ("img-0", bytearray(encode_image(px, "png"))),
+        ("img-1", bytearray(b"garbage not an image")),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    store = ErrorStore(str(tmp_path / "errors3"))
+    out = decode_stats(df, store=store).collect()
+    assert [r["image_id"] for r in out] == ["img-0"]
+    errs = store.read(spark).collect()
+    assert [e["uri"] for e in errs] == ["img-1"]
+    assert errs[0]["stage"] == "decode_stats"
+    # without a store the same input aborts (fail-fast default)
+    with pytest.raises(Exception):
+        decode_stats(df).collect()
+
+
+def test_crawl_fetch_errors_skip_not_abort(spark, tmp_path):
+    """A poisoned image payload in the web: its row lands in the errors
+    table, the crawl completes, the fetched output excludes it, and its
+    surt is still marked seen (never retried)."""
+    from hypercane_spark.errors import ErrorStore
+    from hypercane_spark.streaming.frontier import CrawlConfig, CrawlEngine
+    from hypercane_spark.synth import average_phash, decode_image, encode_image
+
+    px = np.full((4, 4, 3), 9, dtype=np.uint8)
+    good = encode_image(px, "png")
+    ph = average_phash(decode_image(good))
+    web = spark.createDataFrame(
+        [
+            ("https://a.example/m-0", "http://a.example/0", "a.example",
+             dt.datetime(2020, 1, 1), 0.0, 1.0, "img-0", []),
+            ("https://a.example/m-1", "http://a.example/1", "a.example",
+             dt.datetime(2020, 1, 2), 0.0, 0.9, "img-1", []),
+        ],
+        "urim string, urir string, host string, memento_datetime timestamp, "
+        "damage double, priority double, image_id string, outlinks array<string>",
+    )
+    images = spark.createDataFrame(
+        [("img-0", bytearray(good), 4, 4, "png", "cap0", ph),
+         ("img-1", bytearray(b"poisoned"), 4, 4, "png", "cap1", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    eng = CrawlEngine(
+        spark,
+        web,
+        images=images,
+        checkpoint_dir=str(tmp_path / "ck"),
+        errors_dir=str(tmp_path / "errors"),
+        config=CrawlConfig(max_rounds=2, verify_payload=True),
+    )
+    fetched = eng.run(eng.seed_frontier(web.select("urim")))
+    urims = sorted(r["urim"] for r in fetched.select("urim").collect())
+    assert urims == ["https://a.example/m-0"]
+    errs = eng.errors.read(spark).collect()
+    assert [e["uri"] for e in errs] == ["https://a.example/m-1"]
+    assert errs[0]["stage"] == "fetch"
+    # the errored surt is seen: round 2 selected nothing (no retry)
+    _, _, seen = eng.ckpt.read(spark)
+    assert seen.count() == 2
+
+
+# ---------------------------------------------------------- timemap fetch
+
+def test_timemap_fetch_plug_point_retry_and_drop(spark):
+    from hypercane_spark.sources.discovery import timemap_fetch
+
+    calls: dict[str, int] = {}
+
+    def fetcher(urit: str):
+        calls[urit] = calls.get(urit, 0) + 1
+        if urit.endswith("flaky") and calls[urit] < 2:
+            raise IOError("transient")
+        if urit.endswith("dead"):
+            raise IOError("permanent")
+        return {
+            "urir": "http://ex.com/r",
+            "mementos": [
+                (dt.datetime(2020, 1, 1), f"{urit}#m0"),
+                (dt.datetime(2020, 2, 1), f"{urit}#m1"),
+            ],
+        }
+
+    urits = spark.createDataFrame(
+        [("http://arc/tm/ok",), ("http://arc/tm/flaky",), ("http://arc/tm/dead",)],
+        "urit string",
+    )
+    out = timemap_fetch(
+        urits.coalesce(1), fetcher=fetcher, retries=3, backoff=0.0
+    ).collect()
+    got = {(r["urit"], r["tm_pos"]) for r in out}
+    assert got == {
+        ("http://arc/tm/ok", 0), ("http://arc/tm/ok", 1),
+        ("http://arc/tm/flaky", 0), ("http://arc/tm/flaky", 1),
+    }
+    assert all(r["memento_datetime"] is not None for r in out)
+
+
+def test_load_input_timemaps_live_branch(spark, tmp_path):
+    from hypercane_spark.sources.discovery import load_input
+
+    p = tmp_path / "urits.tsv"
+    p.write_text("URI-T\nhttp://arc/tm/1\n")
+
+    def fetcher(urit):
+        return {"urir": "http://e/", "mementos": [(dt.datetime(2021, 1, 1), "m1")]}
+
+    out = load_input(spark, "timemaps", str(p), fetcher=fetcher).collect()
+    assert len(out) == 1 and out[0]["urim"] == "m1"
+    # without tables or fetcher it still raises with instructions
+    with pytest.raises(NotImplementedError):
+        load_input(spark, "timemaps", str(p))
+
+
+def test_urits_from_link_headers(spark):
+    from hypercane_spark.sources.discovery import urits_from_link_headers
+
+    df = spark.createDataFrame(
+        [
+            ("m1", '<http://e/>; rel="original", '
+                   '<http://arc/tm/1>; rel="timemap"; type="application/link-format"'),
+            ("m2", '<http://arc/tm/2>; rel=timemap'),
+            ("m3", '<http://e/x>; rel="original"'),
+            ("m4", None),
+        ],
+        "urim string, link_header string",
+    )
+    got = {r["urim"]: r["urit"] for r in urits_from_link_headers(df).collect()}
+    assert got == {"m1": "http://arc/tm/1", "m2": "http://arc/tm/2"}
+
+
+# ------------------------------------------------------------- ORS header
+
+def test_write_ors_reference_header_golden(spark, tmp_path):
+    from hypercane_spark.sources.io import write_ors
+
+    df = spark.createDataFrame(
+        [(2, "http://a/m2", "c1", 0.25), (1, "http://a/m1", "c0", 0.5)],
+        "rank int, urim string, cluster string, dsa1_score double",
+    )
+    p = str(tmp_path / "o.tsv")
+    write_ors(df, p, reference_header=True)
+    golden = (
+        "URI-M\trank\tCluster\tScore---DSA1-Score\n"
+        "http://a/m1\t1\tc0\t0.5\n"
+        "http://a/m2\t2\tc1\t0.25\n"
+    )
+    assert open(p).read() == golden
+
+
+# -------------------------------------------------------------- growth AUC
+
+def test_trapezoid_auc_matches_numpy(spark):
+    from hypercane_spark.operators.growth import trapezoid_auc
+
+    xs = [0.0, 0.1, 0.35, 0.8, 1.0]
+    ys = [0.2, 0.4, 0.45, 0.9, 1.0]
+    pts = spark.createDataFrame(
+        [(i + 1, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        "pos long, x double, y double",
+    )
+    got = trapezoid_auc(pts, "x", "y", "pos").collect()[0]["auc"]
+    trap = getattr(np, "trapezoid", None) or np.trapz
+    assert abs(got - float(trap(ys, xs))) < 1e-12
+
+
+def test_growth_curve_auc_stats_shape(spark):
+    from hypercane_spark.operators.growth import growth_curve_auc_stats
+
+    rows = [
+        (dt.datetime(2020, 1, 1) + dt.timedelta(days=i), f"m{i:03d}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "memento_datetime timestamp, urim string")
+    out = growth_curve_auc_stats(df).collect()[0]
+    # uniform arrivals → AUC ≈ 0.5 (within the discrete step offset)
+    assert 0.4 < out["auc_memento_curve"] < 0.62
+    assert abs(out["auc_memento_minus_diag"] - (out["auc_memento_curve"] - 0.5)) < 1e-9
+
+
+# ----------------------------------------------- jaccard default blocking
+
+def test_ngram_jaccard_default_lsh_blocking_finds_near_dups(spark):
+    from hypercane_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " tail"), (3, "the completely different text here now")]
+    # every doc shares first token "the" — old default blocked all into one
+    # bucket; new default must still find the true near-dup pair via LSH
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = ngram_jaccard_pairs(
+        df, text="text", key="doc_id", threshold=0.5, shingle_n=2
+    ).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_ngram_jaccard_explicit_block_still_works(spark):
+    from hypercane_spark.functions.hashes import tokens_ws
+    from hypercane_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zeta eta theta")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = ngram_jaccard_pairs(
+        df,
+        text="text",
+        key="doc_id",
+        block=F.element_at(tokens_ws(F.col("text")), 1),
+        threshold=0.9,
+        shingle_n=2,
+    ).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in pairs} == {(1, 2)}
+
+
+# ------------------------------------------------------ linear cosine
+
+def test_off_topic_cosine_matches_bruteforce(spark):
+    """The run-length sum-of-squares form equals the straightforward
+    TF-cosine computed in Python."""
+    from collections import Counter
+
+    from hypercane_spark.operators.filters import off_topic
+
+    docs = [
+        ("g", 0, "apple banana apple cherry"),
+        ("g", 1, "apple banana banana"),
+        ("g", 2, "dog cat mouse"),
+        ("g", 3, ""),
+        ("h", 0, "x y z"),
+        ("h", 1, "x x y q"),
+    ]
+    df = spark.createDataFrame(docs, "urit string, seq int, bpfree_text string")
+    out = off_topic(
+        df, measure="cosine", group="urit", mdt="seq", key="seq",
+        keep_on_topic=True, threshold=-1.0,  # keep all rows, check scores
+    )
+    got = {(r["urit"], r["seq"]): r["offtopic_score"] for r in out.collect()}
+
+    def cos(a: str, b: str) -> float:
+        ca, cb = Counter(a.lower().split()), Counter(b.lower().split())
+        dot = sum(ca[t] * cb[t] for t in ca)
+        na = math.sqrt(sum(v * v for v in ca.values()))
+        nb = math.sqrt(sum(v * v for v in cb.values()))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    firsts = {"g": "apple banana apple cherry", "h": "x y z"}
+    for urit, seq, text in docs:
+        expect = cos(text, firsts[urit])
+        assert abs(got[(urit, seq)] - expect) < 1e-12, (urit, seq)
+
+
+# --------------------------------------------- streaming surt dedup
+
+def test_frontier_merge_surt_cross_batch(spark, tmp_path):
+    """Two urims canonicalizing to the same SURT arriving in different
+    micro-batches are appended once (anti-join keys on surt now)."""
+    from hypercane_spark.streaming.ingest import (
+        DISCOVERED_SCHEMA,
+        stream_discovered_urls,
+        stream_frontier_merge,
+    )
+
+    d = str(tmp_path / "drops")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, DISCOVERED_SCHEMA.replace("event_time timestamp", "event_time string")
+    ).withColumn("event_time", F.to_timestamp("event_time"))
+    mk([("https://s.example/p", "http://s.example/p", "s.example", 1.0,
+         None, "2024-01-01 00:00:00")]).coalesce(1).write.mode("append").parquet(d)
+    # same resource, different scheme + trailing slash → same surt
+    mk([("http://s.example/p/", "http://s.example/p", "s.example", 2.0,
+         None, "2024-01-01 00:01:00")]).coalesce(1).write.mode("append").parquet(d)
+
+    frontier_dir = str(tmp_path / "frontier")
+    q = stream_frontier_merge(
+        stream_discovered_urls(spark, d, max_files_per_trigger=1),
+        frontier_dir,
+        None,
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(frontier_dir).collect()
+    assert len(rows) == 1
+    assert "surt" in spark.read.parquet(frontier_dir).columns
+
+
+# ------------------------------------------- seed-miss frontier advance
+
+def test_crawl_seed_miss_does_not_drop_deferred(spark, tmp_path):
+    """Seeding with URIs absent from the web table must not kill the crawl:
+    deferred/valid rows keep crawling (round continues), missing seeds are
+    marked seen and never retried."""
+    from hypercane_spark.streaming.frontier import CrawlConfig, CrawlEngine
+
+    web = spark.createDataFrame(
+        [("https://b.example/m-0", "http://b.example/0", "b.example",
+          dt.datetime(2020, 1, 1), 0.0, 1.0, None,
+          ["https://b.example/m-1"]),
+         ("https://b.example/m-1", "http://b.example/1", "b.example",
+          dt.datetime(2020, 1, 2), 0.0, 0.5, None, [])],
+        "urim string, urir string, host string, memento_datetime timestamp, "
+        "damage double, priority double, image_id string, outlinks array<string>",
+    )
+    eng = CrawlEngine(spark, web, config=CrawlConfig(max_rounds=4, use_bloom=False))
+    # seed_frontier inner-joins web, so build a frontier with a ghost row
+    # the way a user-supplied frontier table would arrive
+    seeds = eng.seed_frontier(web.select("urim").where(F.col("urim").endswith("m-0")))
+    ghost = spark.createDataFrame(
+        [("https://ghost.example/x", "http://ghost.example/x", "ghost.example",
+          9.0, 0, None)],
+        "urim string, urir string, host string, priority double, depth int, "
+        "discovered_from string",
+    )
+    fetched = eng.run(seeds.unionByName(ghost))
+    urims = sorted(r["urim"] for r in fetched.select("urim").collect())
+    # both real pages crawled despite the ghost dominating round 0 priority
+    assert urims == ["https://b.example/m-0", "https://b.example/m-1"]
+
+
+# ------------------------------------------ append-only seen checkpoints
+
+def test_checkpoint_seen_deltas_union(spark, tmp_path):
+    from hypercane_spark.streaming.checkpoint import RoundCheckpoint
+
+    ck = RoundCheckpoint(str(tmp_path / "ck"))
+    f0 = spark.createDataFrame([("a",)], "urim string")
+    ck.write(0, f0, spark.createDataFrame([("s0",), ("s1",)], "surt string"), None, {})
+    ck.write(1, f0, spark.createDataFrame([("s2",)], "surt string"), None, {})
+    rnd, _, seen = ck.read(spark)
+    assert rnd == 1
+    assert sorted(r["surt"] for r in seen.collect()) == ["s0", "s1", "s2"]
+    # reading an earlier round excludes later deltas
+    _, _, seen0 = ck.read(spark, 0)
+    assert sorted(r["surt"] for r in seen0.collect()) == ["s0", "s1"]
+    # per-round delta dirs exist; no full seen table is ever rewritten
+    assert os.path.isdir(str(tmp_path / "ck" / "round=1" / "seen_delta.parquet"))
+    assert not os.path.exists(str(tmp_path / "ck" / "round=1" / "seen.parquet"))

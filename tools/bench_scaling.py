@@ -60,28 +60,51 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument(
-        "--reps", type=int, default=2,
-        help="runs per level; best throughput wins (suppresses VM noise)",
+        "--reps", type=int, default=3,
+        help="runs per level; the MEDIAN throughput is the headline "
+        "(best-of also reported; host noise on this shared VM is ±8-10%%)",
     )
     args = ap.parse_args()
     factor = args.high / args.low
 
     env_extra: dict[str, str] = {}
 
-    def best_of(cpus: int) -> dict:
+    def reps_at(cpus: int) -> tuple[dict, list[float]]:
         runs = [run_at(cpus, env_extra) for _ in range(args.reps)]
-        return max(runs, key=lambda r: r["crawl"]["mementos_per_sec"])
+        tps = sorted(r["crawl"]["mementos_per_sec"] for r in runs)
+        med = tps[len(tps) // 2] if len(tps) % 2 else (
+            (tps[len(tps) // 2 - 1] + tps[len(tps) // 2]) / 2
+        )
+        # the run whose throughput IS the (lower-)median carries the stage
+        # detail; list of all rep throughputs is reported alongside
+        rep = min(runs, key=lambda r: abs(r["crawl"]["mementos_per_sec"] - med))
+        rep["crawl"]["median_mementos_per_sec"] = med
+        return rep, tps
 
-    # interleave-ish: low then high, so cache/disk state is symmetric
-    lo = best_of(args.low)
-    hi = best_of(args.high)
-    tp_lo = lo["crawl"]["mementos_per_sec"]
-    tp_hi = hi["crawl"]["mementos_per_sec"]
+    # alternate levels per rep? sequential is fine: fresh JVM per run, and
+    # each level's reps bracket the other's in wall-clock anyway
+    lo, tps_lo = reps_at(args.low)
+    hi, tps_hi = reps_at(args.high)
+    tp_lo = lo["crawl"]["median_mementos_per_sec"]
+    tp_hi = hi["crawl"]["median_mementos_per_sec"]
     eff = (tp_hi / tp_lo) / factor
+    eff_best = (max(tps_hi) / max(tps_lo)) / factor
+
+    # append-only seen-checkpoint evidence: the per-round checkpoint series
+    # must not trend upward with |seen| (allow 1.5x first→last headroom for
+    # round-size variance)
+    ck_rounds = hi["crawl"].get("stage_rounds_s", {}).get("checkpoint", [])
+    ck_flat = (
+        len(ck_rounds) < 3 or ck_rounds[-1] <= 1.5 * max(ck_rounds[0], 0.2)
+    )
     report = {
         "metric": "crawl scaling efficiency",
         "value": round(eff, 3),
-        "unit": f"(tp@local[{args.high}] / tp@local[{args.low}]) / {factor:g}",
+        "unit": f"(tp@local[{args.high}] / tp@local[{args.low}]) / {factor:g}"
+                f" — median of {args.reps} reps/level",
+        "efficiency_best_of": round(eff_best, 3),
+        "reps_low_tps": tps_lo,
+        "reps_high_tps": tps_hi,
         "low": {"cores": args.low, "mementos_per_sec": tp_lo,
                 "wall_s": lo["crawl"]["wall_s"], "stage_s": lo["crawl"]["stage_s"]},
         "high": {"cores": args.high, "mementos_per_sec": tp_hi,
@@ -89,6 +112,8 @@ def main() -> None:
         "fetched": hi["crawl"]["fetched"],
         "n_urls": hi["crawl"]["n_urls"],
         "fidelity": hi["crawl"]["fidelity"],
+        "checkpoint_per_round_s": ck_rounds,
+        "checkpoint_flat": ck_flat,
         "pass": eff >= 0.8,
     }
     print(json.dumps(report))
@@ -98,20 +123,24 @@ def main() -> None:
     section = f"""{marker}
 
 Same crawl job, same deterministic input (seed 42,
-{report['n_urls']} URLs, payload verify on), fresh JVM per run —
-`python tools/bench_scaling.py --low {args.low} --high {args.high}`:
+{report['n_urls']} URLs), fresh JVM per run, {args.reps} reps per level —
+`python tools/bench_scaling.py --low {args.low} --high {args.high} --reps {args.reps}`:
 
-| config | fetched mementos/sec | wall s |
+| config | median mementos/sec | all reps |
 |---|---|---|
-| `local[{args.low}]` (N) | {tp_lo} | {lo['crawl']['wall_s']} |
-| `local[{args.high}]` (4N) | {tp_hi} | {hi['crawl']['wall_s']} |
+| `local[{args.low}]` (N) | {tp_lo} | {tps_lo} |
+| `local[{args.high}]` (4N) | {tp_hi} | {tps_hi} |
 
-**Scaling efficiency = (tp_4N / tp_N) / {factor:g} = {eff:.3f}**
-(target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
+**Scaling efficiency (median of {args.reps}) = (tp_4N / tp_N) / {factor:g} =
+{eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"});
+best-of-reps efficiency = {eff_best:.3f}.
 
 {_fidelity_md(report['fidelity'], args.high)}
-Stage wall-times (`local[{args.high}]`, summed over rounds):
+Stage wall-times (`local[{args.high}]` median run, summed over rounds):
 `{json.dumps(hi['crawl']['stage_s'])}`
+
+Per-round checkpoint wall (append-only seen deltas — must stay flat as
+|seen| grows): `{ck_rounds}` → {"flat" if ck_flat else "GROWING (regression)"}
 """
     if os.path.exists(md_path):
         text = open(md_path).read()
