@@ -1624,6 +1624,41 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", language_guess("text").alias("lang_guess"))
 
 
+def _lang_multiclass_sql() -> str:
+    """DuckDB mirror of functions.text.language_id — generated from the
+    same LANG_PROFILES so the two can't drift."""
+    from hypercane_spark.functions.text import LANG_PROFILES
+
+    ratios = []
+    for lang, words in LANG_PROFILES.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        ratios.append(
+            (lang,
+             f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, "
+             f"x -> list_contains({lst}, x))) AS DOUBLE) / len(toks) "
+             f"ELSE 0.0 END")
+        )
+    sel = ", ".join(f"{expr} AS r_{lang}" for lang, expr in ratios)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang, _ in ratios) + ")"
+    case = "CASE WHEN best < 0.05 THEN 'un' " + " ".join(
+        f"WHEN r_{lang} = best THEN '{lang}'" for lang, _ in ratios
+    ) + " ELSE 'un' END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    r AS (SELECT doc_id, {sel} FROM t),
+    b AS (SELECT *, {best} AS best FROM r)
+    SELECT doc_id, {case} AS lang FROM b
+    """
+
+
+@q("text_language_multiclass", _lang_multiclass_sql())
+def text_language_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.text import language_id
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", language_id("text").alias("lang"))
+
+
 @q(
     "text_token_stats",
     f"""

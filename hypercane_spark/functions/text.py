@@ -78,10 +78,71 @@ def language_guess(text: Column | str, en_threshold: float = 0.08) -> Column:
     """n-gram-free language heuristic: 'en' when the stopword ratio clears the
     threshold, else 'other'. Stands in for the reference's guess-language
     dependency (/root/reference/hypercane/utils.py:309-353); pluggable —
-    callers may substitute a model-backed pandas UDF."""
+    callers may substitute a model-backed pandas UDF. Kept binary for
+    oracle stability; the multiclass classifier is language_id()."""
     return F.when(stopword_ratio(text) >= en_threshold, F.lit("en")).otherwise(
         F.lit("other")
     )
+
+
+# Most-frequent-function-word profiles (Cavnar & Trenkle 1994's rank-profile
+# idea reduced to its word-level form): the top ~20 function words of each
+# language, from public frequency lists. Frozen — determinism beats coverage.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "on", "are", "with", "as", "be", "at", "by", "this", "have",
+           "from"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las",
+           "un", "por", "con", "una", "su", "para", "es", "al", "lo",
+           "como"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "un", "une", "du",
+           "que", "dans", "qui", "pour", "sur", "au", "avec", "pas", "ce",
+           "il"),
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
+           "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+           "als", "auch"),
+    "it": ("di", "e", "il", "che", "in", "un", "per", "una", "non", "sono",
+           "con", "si", "da", "le", "dei", "del", "al", "più", "nel",
+           "anche"),
+    "pt": ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "com", "não", "uma", "os", "no", "se", "na", "por", "mais",
+           "as"),
+    "nl": ("de", "en", "van", "het", "een", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "maar",
+           "als"),
+}
+
+
+def language_id(
+    text: Column | str,
+    threshold: float = 0.05,
+    unknown: str = "un",
+) -> Column:
+    """Multiclass language ID over LANG_PROFILES — the full replacement for
+    the reference's guess_language call (utils.py:309-353), pure Catalyst.
+
+    Per language: ratio of tokens that are in that language's
+    function-word profile. Label = argmax ratio (declaration-order
+    tiebreak, matching a chained CASE in SQL); all ratios below
+    ``threshold`` → ``unknown``. One linear pass per profile over the
+    token array — O(langs · tokens) JVM-side, no Python."""
+    toks = tokens_ws(text)
+    n = F.size(toks)
+    def _in_profile(words):
+        # closure (not a default arg: pyspark's higher-order filter treats
+        # a 2-parameter lambda as (element, index))
+        return lambda t: t.isin(*words)
+
+    ratios = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(toks, _in_profile(words)))
+        ratios.append((lang, F.when(n > 0, hits / n).otherwise(F.lit(0.0))))
+    best = F.greatest(*[r for _, r in ratios])
+    out = F.lit(unknown)
+    # build the CASE chain back-to-front so earlier languages win ties
+    for lang, r in reversed(ratios):
+        out = F.when(r == best, F.lit(lang)).otherwise(out)
+    return F.when(best >= F.lit(threshold), out).otherwise(F.lit(unknown))
 
 
 def quality_score(text: Column | str) -> Column:

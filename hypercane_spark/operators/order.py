@@ -95,18 +95,25 @@ def with_global_rank(
     is the 100 TB path:
 
         range-partition by the order keys → sort within partitions →
-        per-partition counts (tiny collect) → broadcast cumulative offsets
-        → rank = offset[partition] + local index (Arrow-batched)
+        per-partition counts (tiny collect) → cumulative offsets as a
+        literal map → rank = offset[partition] + local index, where the
+        local index is decoded from ``monotonically_increasing_id()``
+        (its contract: partition id in the upper bits, a CONSECUTIVE
+        0-based record number within the partition in the lower 33 — and
+        the id is stamped in the same stage as the partition sort, so the
+        record number IS the sorted position)
 
     Two jobs over a localCheckpoint()ed sorted intermediate (eager: the
-    sizes job needs the compute anyway); no single-task stage. Unlike a
-    bare ``persist()`` the checkpoint blocks are freed by the
-    ContextCleaner as soon as the returned DataFrame is dropped, so
-    repeated calls don't accumulate cached partitions (a measured storage
-    leak in round 1). ``order_cols`` take Columns with asc()/desc() already
-    applied; include a unique tiebreaker column for deterministic ranks."""
-    import pandas as pd
-
+    sizes job needs the compute anyway), and the rank itself is a pure
+    JVM column expression — no Python workers, no Arrow round-trip of the
+    payload (the round-2 mapInPandas rank cost 1-2 s of fixed worker
+    spawn + serialization per call at sf0.1, 2.25x on
+    order_memento_datetime). No single-task stage. Unlike a bare
+    ``persist()`` the checkpoint blocks are freed by the ContextCleaner
+    as soon as the returned DataFrame is dropped, so repeated calls don't
+    accumulate cached partitions (a measured storage leak in round 1).
+    ``order_cols`` take Columns with asc()/desc() already applied;
+    include a unique tiebreaker column for deterministic ranks."""
     spark = df.sparkSession
     sc = spark.sparkContext
     n = num_partitions or max(2, sc.defaultParallelism)
@@ -114,6 +121,7 @@ def with_global_rank(
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
         .localCheckpoint()  # one compute shared by the sizes job and the rank job
     )
     sizes = {
@@ -125,21 +133,11 @@ def with_global_rank(
     for p in sorted(sizes):  # range partition i holds the i-th key range
         offsets[p] = acc
         acc += sizes[p]
-    b_off = sc.broadcast(offsets)
-
-    out_schema = part.withColumn(rank_col, F.lit(0).cast("long")).schema
-
-    def add_rank(batches):
-        local = 0
-        for pdf in batches:
-            if not len(pdf):
-                yield pdf.assign(**{rank_col: pd.Series([], dtype="int64")})
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            start = b_off.value.get(pid, 0) + local
-            pdf = pdf.copy()
-            pdf[rank_col] = range(start + 1, start + 1 + len(pdf))
-            local += len(pdf)
-            yield pdf
-
-    return part.mapInPandas(add_rank, schema=out_schema).drop("__pid")
+    off_map = F.create_map(
+        *[F.lit(v) for p in offsets for v in (p, offsets[p])]
+    )
+    local_idx = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    rank = (
+        F.coalesce(off_map[F.col("__pid")], F.lit(0)) + local_idx + 1
+    ).cast("long")
+    return part.withColumn(rank_col, rank).drop("__pid", "__mid")

@@ -10,9 +10,9 @@ Reference surfaces rebuilt here:
 Design: the canonical sink for bulk data is columnar (parquet/Iceberg);
 the reference's per-file dumps are kept for parity and run as
 ``foreachPartition`` writers so no payload ever routes through the driver.
-The WARC body builder needs ``warcio`` (absent in this container) — the
-partitioning/record-grouping plumbing is real, the record serializer is
-gated behind an import-try.
+The WARC sink serializes ISO 28500 WARC/1.0 records with a pure-stdlib
+writer (one gzip member per record, as the spec requires for .warc.gz) —
+no warcio dependency.
 """
 
 from __future__ import annotations
@@ -117,49 +117,155 @@ def write_story_json(story: dict, path: str) -> None:
         json.dump(story, f, indent=2)
 
 
+def serialize_warc_record(
+    target_uri: str,
+    payload: bytes,
+    warc_date: str = "2000-01-01T00:00:00Z",
+    warc_type: str = "response",
+    content_type: str = "text/html",
+    status: str = "200 OK",
+) -> bytes:
+    """One ISO 28500 WARC/1.0 record as bytes (pure stdlib, deterministic).
+
+    Mirrors what the reference builds through warcio
+    (/root/reference/hypercane/synthesize/warcs.py:126-147): a ``response``
+    record whose WARC-Target-URI is the original resource, WARC-Date is the
+    memento-datetime (``%Y-%m-%dT%H:%M:%SZ``), and whose content block is
+    an HTTP/1.0 ``200 OK`` response wrapping the raw payload. The record ID
+    is a UUID derived from md5(target_uri + date) so output is byte-stable
+    across runs; the payload digest uses warcio's ``sha1:<base32>``
+    convention."""
+    import base64
+    import hashlib
+
+    payload = bytes(payload or b"")
+    http_block = (
+        f"HTTP/1.0 {status}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii") + payload
+    digest = base64.b32encode(hashlib.sha1(payload).digest()).decode("ascii")
+    rec_uuid = hashlib.md5(
+        (target_uri + warc_date).encode("utf8")
+    ).hexdigest()
+    rec_id = (
+        f"<urn:uuid:{rec_uuid[:8]}-{rec_uuid[8:12]}-{rec_uuid[12:16]}-"
+        f"{rec_uuid[16:20]}-{rec_uuid[20:32]}>"
+    )
+    headers = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", rec_id),
+        ("WARC-Date", warc_date),
+        ("WARC-Target-URI", target_uri),
+        ("WARC-Payload-Digest", f"sha1:{digest}"),
+        ("Content-Type", "application/http; msgtype=response"),
+        ("Content-Length", str(len(http_block))),
+    ]
+    head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return head.encode("ascii") + b"\r\n" + http_block + b"\r\n\r\n"
+
+
+def serialize_warcinfo(filename: str, warc_date: str) -> bytes:
+    """The leading ``warcinfo`` record every reference-written .warc.gz
+    starts with (warcio WARCWriter emits one implicitly)."""
+    import hashlib
+
+    body = (
+        "software: hypercane-spark\r\nformat: WARC File Format 1.0\r\n"
+    ).encode("ascii")
+    rec_uuid = hashlib.md5(filename.encode("utf8")).hexdigest()
+    rec_id = (
+        f"<urn:uuid:{rec_uuid[:8]}-{rec_uuid[8:12]}-{rec_uuid[12:16]}-"
+        f"{rec_uuid[16:20]}-{rec_uuid[20:32]}>"
+    )
+    headers = [
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Record-ID", rec_id),
+        ("WARC-Date", warc_date),
+        ("WARC-Filename", filename),
+        ("Content-Type", "application/warc-fields"),
+        ("Content-Length", str(len(body))),
+    ]
+    head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return head.encode("ascii") + b"\r\n" + body + b"\r\n\r\n"
+
+
 def write_warcs(
     df: DataFrame,
     out_dir: str,
     seed: str = "urir",
     urim: str = "urim",
     body: str = "bytes",
+    mdt: str | None = "memento_datetime",
+    content_type: str | None = None,
 ) -> None:
-    """Reference `hc synthesize warcs`: one .warc.gz per seed, containing a
-    response record per memento plus embedded resources.
+    """Reference `hc synthesize warcs`
+    (/root/reference/hypercane/synthesize/warcs.py:126-199): one .warc.gz
+    per seed — named ``{md5(seed)}.warc.gz`` per the reference's
+    urlhash-prefix convention (:136-143), skip-if-exists resume kept — a
+    warcinfo record first, then a response record per memento.
+    WARC-Target-URI is the seed (original resource), WARC-Date the
+    memento-datetime.
 
-    The Spark plumbing is real: rows are repartitioned by seed so each
-    seed's records land in one task, and records are serialized
-    executor-side. The record serializer itself requires ``warcio`` (not in
-    this container) — plug it into the marked spot."""
-    try:
-        import warcio  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "warcio is not available in this container; the partition-"
-            "by-seed plumbing below is exercised by tests via the "
-            "records-per-seed count instead"
-        ) from e
-
+    Scale shape: rows are hash-repartitioned by seed so each seed's
+    records land in one task and are written executor-side (never through
+    the driver); each record is an independent gzip member as the WARC
+    spec requires, so files remain record-seekable."""
     os.makedirs(out_dir, exist_ok=True)
-    work = df.select(seed, urim, body).repartition(F.col(seed))
+    cols = [seed, urim, body]
+    have_mdt = mdt is not None and mdt in df.columns
+    if have_mdt:
+        cols.append(mdt)
+    if content_type is not None and content_type in df.columns:
+        cols.append(content_type)
+    else:
+        content_type = None
+    work = df.select(*cols).repartition(F.col(seed))
 
-    def write_partition(rows) -> None:  # pragma: no cover - needs warcio
-        from warcio.statusandheaders import StatusAndHeaders
-        from warcio.warcwriter import WARCWriter
+    def write_partition(rows) -> None:
+        import gzip
+        import hashlib
 
-        writers: dict = {}
+        handles: dict = {}
         for r in rows:
             s = r[seed]
-            if s not in writers:
-                fname = os.path.join(out_dir, f"{abs(hash(s))}.warc.gz")
-                writers[s] = WARCWriter(open(fname, "wb"), gzip=True)
-            w = writers[s]
-            headers = StatusAndHeaders("200 OK", [], protocol="HTTP/1.1")
-            rec = w.create_warc_record(
-                r[urim], "response", payload=bytes(r[body] or b""),
-                http_headers=headers,
+            if s not in handles:
+                urlhash = hashlib.md5(str(s).encode("utf8")).hexdigest()
+                fname = f"{urlhash}.warc.gz"
+                path = os.path.join(out_dir, fname)
+                if os.path.exists(path):  # reference skip-if-exists resume
+                    handles[s] = None
+                    continue
+                fh = open(path, "wb")
+                handles[s] = fh
+                date0 = (
+                    r[mdt].strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if have_mdt and r[mdt] is not None
+                    else "2000-01-01T00:00:00Z"
+                )
+                fh.write(
+                    gzip.compress(serialize_warcinfo(fname, date0), mtime=0)
+                )
+            fh = handles[s]
+            if fh is None:
+                continue
+            date = (
+                r[mdt].strftime("%Y-%m-%dT%H:%M:%SZ")
+                if have_mdt and r[mdt] is not None
+                else "2000-01-01T00:00:00Z"
             )
-            w.write_record(rec)
+            rec = serialize_warc_record(
+                str(s),
+                r[body],
+                warc_date=date,
+                content_type=(
+                    r[content_type] if content_type else "text/html"
+                ),
+            )
+            fh.write(gzip.compress(rec, mtime=0))
+        for fh in handles.values():
+            if fh is not None:
+                fh.close()
 
     work.foreachPartition(write_partition)
 

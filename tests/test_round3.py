@@ -393,3 +393,32 @@ def test_checkpoint_seen_deltas_union(spark, tmp_path):
     # per-round delta dirs exist; no full seen table is ever rewritten
     assert os.path.isdir(str(tmp_path / "ck" / "round=1" / "seen_delta.parquet"))
     assert not os.path.exists(str(tmp_path / "ck" / "round=1" / "seen.parquet"))
+
+
+# ------------------------------------------ multiclass language ID
+
+def test_language_id_multiclass(spark):
+    from hypercane_spark.functions.text import language_id
+
+    rows = [
+        ("en", "the cat sat on the mat and it was happy with this"),
+        ("es", "el perro está en la casa de los niños y una de las"),
+        ("fr", "le chat est dans la maison des enfants et il est pour"),
+        ("de", "der hund ist in dem haus und die katze ist nicht mit"),
+        ("pt", "o cachorro está em uma casa de um que não os para"),
+        ("nl", "de hond is in het huis en dat is niet voor de kat"),
+        ("un", "zzz qqq xxx yyy www vvv"),
+        ("un", ""),
+    ]
+    df = spark.createDataFrame(rows, "want string, text string")
+    got = df.select("want", language_id("text").alias("lang")).collect()
+    for r in got:
+        assert r["lang"] == r["want"], (r["want"], r["lang"])
+
+
+def test_language_id_tiebreak_deterministic(spark):
+    from hypercane_spark.functions.text import language_id
+
+    # 'de la' hits both es and fr profiles equally -> declaration order (es)
+    df = spark.createDataFrame([("de la",)], "text string")
+    assert df.select(language_id("text").alias("l")).first()["l"] == "es"

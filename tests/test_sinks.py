@@ -89,15 +89,63 @@ def test_warc_partition_plan(spark):
     assert plan == {"s1": 2, "s2": 1}
 
 
-def test_warc_writer_gated(spark, tmp_path):
-    df = spark.createDataFrame(
-        [("s1", "m1", bytearray(b"x"))], "urir string, urim string, bytes binary"
-    )
-    try:
-        import warcio  # noqa: F401
+def _parse_warc_gz(path):
+    """Minimal WARC/1.0 reader: gzip members → (headers dict, body bytes)."""
+    import gzip
 
-        pytest.skip("warcio present; writer would run for real")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        write_warcs(df, str(tmp_path / "warcs"))
+    records = []
+    data = gzip.open(path, "rb").read()  # concatenated members decompress in sequence
+    while data:
+        head, _, rest = data.partition(b"\r\n\r\n")
+        lines = head.decode("ascii").split("\r\n")
+        assert lines[0] == "WARC/1.0"
+        hdrs = dict(l.split(": ", 1) for l in lines[1:] if l)
+        n = int(hdrs["Content-Length"])
+        records.append((hdrs, rest[:n]))
+        data = rest[n:].lstrip(b"\r\n")
+    return records
+
+
+def test_warc_writer_roundtrip(spark, tmp_path):
+    import datetime as dt
+    import glob
+    import hashlib
+
+    mdt = dt.datetime(2019, 3, 2, 10, 30, 0)
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/x", "m1", bytearray(b"hello-a1"), mdt),
+            ("http://a.example/x", "m2", bytearray(b"hello-a2"), mdt),
+            ("http://b.example/y", "m3", bytearray(b"hello-b"), None),
+        ],
+        "urir string, urim string, bytes binary, memento_datetime timestamp",
+    )
+    out = str(tmp_path / "warcs")
+    write_warcs(df, out)
+    files = sorted(glob.glob(out + "/*.warc.gz"))
+    assert len(files) == 2  # one per seed, md5-named
+    names = {f.split("/")[-1] for f in files}
+    assert (
+        hashlib.md5(b"http://a.example/x").hexdigest() + ".warc.gz" in names
+    )
+    by_seed = {}
+    for f in files:
+        recs = _parse_warc_gz(f)
+        assert recs[0][0]["WARC-Type"] == "warcinfo"
+        assert recs[0][0]["Content-Type"] == "application/warc-fields"
+        for hdrs, body in recs[1:]:
+            assert hdrs["WARC-Type"] == "response"
+            assert hdrs["Content-Type"] == "application/http; msgtype=response"
+            http_head, _, payload = body.partition(b"\r\n\r\n")
+            assert http_head.startswith(b"HTTP/1.0 200 OK")
+            by_seed.setdefault(hdrs["WARC-Target-URI"], []).append(payload)
+    assert sorted(by_seed["http://a.example/x"]) == [b"hello-a1", b"hello-a2"]
+    assert by_seed["http://b.example/y"] == [b"hello-b"]
+    # memento-datetime propagated as WARC-Date (reference warcs.py:113-115)
+    a_recs = _parse_warc_gz(
+        out + "/" + hashlib.md5(b"http://a.example/x").hexdigest() + ".warc.gz"
+    )
+    assert a_recs[1][0]["WARC-Date"] == "2019-03-02T10:30:00Z"
+    # skip-if-exists resume: rewriting must not duplicate records
+    write_warcs(df, out)
+    assert len(a_recs) == 3  # warcinfo + 2 responses, unchanged after rerun
