@@ -65,6 +65,10 @@ HEADLINE = [
     "filter_off_topic_cosine",
     "agg_growth_auc",
     "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "text_gopher_quality",
+    "text_repetition",
+    "sim_ivf_topk",
 ]
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))

@@ -1188,6 +1188,54 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, qv, k=10, bits=8, probe_hamming=1)
 
 
+# IVF oracle: the "seed" coarse quantizer (centroids = 16 lowest-id corpus
+# vectors) and the query (vec_id 0's embedding) are both RELATIONAL — the
+# SQL derives identical cells with zero float literals.
+_SQDIST_SQL = (
+    "list_sum(list_transform(range(64), i -> "
+    "(CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))"
+    " * (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))))"
+)
+
+
+@q(
+    "sim_ivf_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      ORDER BY vec_id ASC LIMIT 16
+    ), qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    asg AS (
+      SELECT vec_id, embedding, cid,
+        row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY {_SQDIST_SQL.format(a='embedding', b='cvec')} ASC, cid ASC
+        ) AS rn
+      FROM embeddings CROSS JOIN c
+    ), probes AS (
+      SELECT cid FROM (
+        SELECT cid,
+          row_number() OVER (
+            ORDER BY {_SQDIST_SQL.format(a='cvec', b='qv')} ASC, cid ASC
+          ) AS qr
+        FROM c CROSS JOIN qq
+      ) WHERE qr <= 4
+    ), cand AS (
+      SELECT vec_id, embedding AS a, qv
+      FROM asg CROSS JOIN qq
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+    ), s AS (SELECT vec_id, {_COSINE_SQL} AS cosine FROM cand)
+    SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    return ivf_topk(e, qv, k=10, n_cells=16, n_probe=4)
+
+
 @q(
     "filter_cluster_id",
     """
@@ -1706,6 +1754,179 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+_STOPS8_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@q(
+    "text_gopher_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, repeat(text || ' ', 12) AS tx FROM documents
+    ), k AS (
+      SELECT doc_id, tx,
+        list_filter(regexp_split_to_array(lower(tx), '\\s+'), x -> x <> '') AS toks,
+        list_filter(string_split_regex(tx, '\\n'), l -> trim(l) <> '') AS lines
+      FROM t
+    ), m AS (
+      SELECT doc_id, tx, toks, lines, len(toks) AS n,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        ELSE 0.0 END AS mean_len,
+        CAST(len(regexp_extract_all(tx, '#')) + len(regexp_extract_all(tx, '\\.\\.\\.'))
+             + len(regexp_extract_all(tx, '…')) AS DOUBLE) AS symbols,
+        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS DOUBLE) AS bullets,
+        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE) AS ellipses,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha,
+        len(list_filter({_STOPS8_SQL}, w -> list_contains(toks, w))) AS stop_hits
+      FROM k
+    ), f AS (
+      SELECT doc_id,
+        n >= 50 AND n <= 100000 AS n_words_ok,
+        mean_len >= 3.0 AND mean_len <= 10.0 AS mean_word_len_ok,
+        CASE WHEN n > 0 THEN symbols / n <= 0.1 ELSE FALSE END AS symbol_ratio_ok,
+        CASE WHEN len(lines) > 0 THEN bullets / len(lines) <= 0.9 ELSE TRUE END AS bullet_ok,
+        CASE WHEN len(lines) > 0 THEN ellipses / len(lines) <= 0.3 ELSE TRUE END AS ellipsis_ok,
+        CASE WHEN n > 0 THEN alpha / n >= 0.8 ELSE FALSE END AS alpha_ok,
+        stop_hits >= 2 AS stopwords_ok
+      FROM m
+    )
+    SELECT *, n_words_ok AND mean_word_len_ok AND symbol_ratio_ok AND bullet_ok
+              AND ellipsis_ok AND alpha_ok AND stopwords_ok AS pass_all
+    FROM f
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.functions.text import gopher_quality_flags
+
+    d = _docs(spark, sf_dir)
+    # captions are short; repeat to a document-sized fixture so the word-
+    # count rule has both outcomes
+    tx = F.concat_ws(" ", F.array_repeat(F.col("text"), 12))
+    g = gopher_quality_flags(tx)
+    return d.withColumn("__g", g).select(
+        "doc_id",
+        F.col("__g.n_words_ok").alias("n_words_ok"),
+        F.col("__g.mean_word_len_ok").alias("mean_word_len_ok"),
+        F.col("__g.symbol_ratio_ok").alias("symbol_ratio_ok"),
+        F.col("__g.bullet_ok").alias("bullet_ok"),
+        F.col("__g.ellipsis_ok").alias("ellipsis_ok"),
+        F.col("__g.alpha_ok").alias("alpha_ok"),
+        F.col("__g.stopwords_ok").alias("stopwords_ok"),
+        F.col("__g.pass").alias("pass_all"),
+    )
+
+
+@q(
+    "text_repetition",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text || e'\nrepeat me\nrepeat me\nrepeat me'
+             WHEN doc_id % 3 = 2 THEN text || repeat(' buy now', 8)
+             ELSE text END AS tx
+      FROM documents
+    ), l0 AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(tx, '\n'), x -> trim(x) <> '')) AS line
+      FROM d
+    ), lc AS (
+      SELECT doc_id, line, count(*) AS c FROM l0 GROUP BY doc_id, line
+    ), ls AS (
+      SELECT doc_id,
+        1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS dlf,
+        CAST(sum(length(line) * (c - 1)) AS DOUBLE)
+          / sum(length(line) * c) AS dlcf
+      FROM lc GROUP BY doc_id
+    ), t0 AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(tx), '\s+'), x -> x <> '') AS toks
+      FROM d
+    ), g0 AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS gram
+      FROM t0
+    ), gc AS (
+      SELECT doc_id, gram, count(*) AS c FROM g0 GROUP BY doc_id, gram
+    ), gr AS (
+      SELECT doc_id, c * length(gram) AS chars,
+        sum(c * length(gram)) OVER (PARTITION BY doc_id) AS total,
+        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+      FROM gc
+    ), gs AS (
+      SELECT doc_id, CAST(chars AS DOUBLE) / total AS tgf FROM gr WHERE rn = 1
+    )
+    SELECT d.doc_id,
+      round(coalesce(dlf, 0.0), 6) AS dup_line_frac,
+      round(coalesce(dlcf, 0.0), 6) AS dup_line_char_frac,
+      round(coalesce(tgf, 0.0), 6) AS top_2gram_char_frac,
+      coalesce(dlf, 0.0) <= 0.3 AND coalesce(dlcf, 0.0) <= 0.2
+        AND coalesce(tgf, 0.0) <= 0.2 AS repetition_ok
+    FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.filters import repetition_stats
+
+    d = _docs(spark, sf_dir)
+    tx = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\nrepeat me\nrepeat me\nrepeat me")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.col("text"), F.expr("repeat(' buy now', 8)")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return repetition_stats(d.select("doc_id", tx.alias("text")))
+
+
+@q(
+    "dedup_paragraphs",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        text || e'\n\nsubscribe to our newsletter ' || CAST(doc_id % 3 AS VARCHAR)
+             || e'\n\nall rights reserved' AS tx
+      FROM documents
+    ), s AS (
+      SELECT doc_id, string_split_regex(tx, '\n\n+') AS paras FROM d
+    ), p0 AS (
+      SELECT doc_id, unnest(paras) AS para,
+             unnest(range(len(paras))) AS pos
+      FROM s
+    ), p AS (
+      SELECT * FROM p0 WHERE trim(para) <> ''
+    ), h AS (
+      SELECT doc_id, pos, para,
+        md5(lower(regexp_replace(trim(para), '\s+', ' ', 'g'))) AS hh
+      FROM p
+    ), k AS (
+      SELECT *, row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+      FROM h
+    )
+    SELECT doc_id, string_agg(para, e'\n\n' ORDER BY pos) AS text
+    FROM k WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hypercane_spark.operators.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir)
+    # fixture: every doc gets a shared boilerplate paragraph (3 variants)
+    # and a universal footer — exactly what paragraph dedup exists to strip
+    tx = F.concat(
+        F.col("text"),
+        F.lit("\n\nsubscribe to our newsletter "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\n\nall rights reserved"),
+    )
+    return paragraph_dedup(d.select("doc_id", tx.alias("text")))
 
 
 # ============================================================== crawl engine

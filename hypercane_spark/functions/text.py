@@ -160,6 +160,98 @@ def quality_score(text: Column | str) -> Column:
     return F.when(_c(text).isNull(), F.lit(None).cast("double")).otherwise(score)
 
 
+def gopher_quality_flags(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A1.1) as one
+    struct column of booleans plus the conjunctive ``pass`` — the standard
+    repetition-free document gate of large-scale LM data pipelines, pure
+    Catalyst (one linear pass per rule, no Python).
+
+    Fields: n_words_ok, mean_word_len_ok, symbol_ratio_ok, bullet_ok,
+    ellipsis_ok, alpha_ok, stopwords_ok, pass.
+
+    The token and line arrays are bound ONCE through the single-element
+    transform-lambda idiom (html.card_flags, hashes.simhash64_md5):
+    CollapseProject cannot inline a lambda variable, so the tokenization
+    evaluates once per row instead of once per rule."""
+    t = _c(text)
+
+    def build(b: Column) -> Column:
+        toks, lines = b["toks"], b["lines"]
+        n = F.size(toks)
+        nd = n.cast("double")
+        total_len = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        mean_len = F.when(n > 0, total_len / nd).otherwise(F.lit(0.0))
+        symbols = (
+            F.regexp_count(b["t"], F.lit(r"#"))
+            + F.regexp_count(b["t"], F.lit(r"\.\.\."))
+            + F.regexp_count(b["t"], F.lit(r"…"))
+        ).cast("double")
+        n_lines = F.size(lines).cast("double")
+        bullet = F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^[•\-\*]"))
+        ).cast("double")
+        ellipsis = F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        alpha = F.size(
+            F.filter(toks, lambda w: w.rlike("[a-z]"))
+        ).cast("double")
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in
+                          ("the", "be", "to", "of", "and", "that", "have",
+                           "with")]),
+            )
+        )
+        flags = {
+            "n_words_ok": (n >= min_words) & (n <= max_words),
+            "mean_word_len_ok": (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len),
+            "symbol_ratio_ok": F.when(
+                n > 0, symbols / nd <= max_symbol_word_ratio
+            ).otherwise(F.lit(False)),
+            "bullet_ok": F.when(
+                n_lines > 0, bullet / n_lines <= max_bullet_line_frac
+            ).otherwise(F.lit(True)),
+            "ellipsis_ok": F.when(
+                n_lines > 0, ellipsis / n_lines <= max_ellipsis_line_frac
+            ).otherwise(F.lit(True)),
+            "alpha_ok": F.when(
+                n > 0, alpha / nd >= min_alpha_word_frac
+            ).otherwise(F.lit(False)),
+            "stopwords_ok": stop_hits >= min_stopword_hits,
+        }
+        all_ok = None
+        for c in flags.values():
+            all_ok = c if all_ok is None else (all_ok & c)
+        return F.struct(
+            *[v.alias(k) for k, v in flags.items()], all_ok.alias("pass")
+        )
+
+    bound = F.struct(
+        tokens_ws(t).alias("toks"),
+        F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != F.lit("")).alias(
+            "lines"
+        ),
+        t.alias("t"),
+    )
+    return F.element_at(F.transform(F.array(bound), build), 1)
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token sequence. Two docs with the same bag of words share a fingerprint

@@ -309,3 +309,63 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    sep: str = r"\n\n+",
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """CCNet-style cross-corpus paragraph dedup: split each document into
+    paragraphs, keep only the FIRST occurrence (lowest ``(key, position)``)
+    of every exact normalized paragraph across the whole corpus, and
+    reassemble documents from their surviving paragraphs.
+
+    This removes the boilerplate that exact/near-dup document dedup can't
+    touch (headers, cookie banners, share widgets repeated across millions
+    of pages) — the CCNet/RefinedWeb preprocessing step.
+
+    Scale shape: posexplode (narrow) → ONE shuffle on md5(paragraph) (a
+    32-byte key regardless of paragraph size) with a map-side-partial
+    min(struct(key,pos)) aggregate → broadcast-free semi-join back on the
+    same hash key (co-partitioned: Catalyst reuses the exchange) → ONE
+    shuffle on ``key`` to reassemble. No driver-side state; skew on a
+    hyper-common paragraph is bounded because the aggregate (not a join)
+    absorbs the hot hash.
+
+    Returns ``(key, <text>)`` with ``<text>`` rebuilt from surviving
+    paragraphs joined by a blank line; documents whose every paragraph was
+    a duplicate are dropped (``drop_empty_docs=False`` keeps them with
+    empty text)."""
+    paras = F.filter(
+        F.split(F.col(text), sep), lambda p: F.trim(p) != F.lit("")
+    )
+    exploded = df.select(
+        F.col(key), F.posexplode(paras).alias("__pos", "__para")
+    ).withColumn(
+        "__h", F.md5(F.lower(F.regexp_replace(F.trim(F.col("__para")), r"\s+", " ")))
+    )
+    winners = exploded.groupBy("__h").agg(
+        F.min(F.struct(F.col(key).alias("k"), F.col("__pos").alias("p"))).alias("__w")
+    )
+    kept = (
+        exploded.join(winners, on="__h")
+        .where((F.col(key) == F.col("__w.k")) & (F.col("__pos") == F.col("__w.p")))
+        .drop("__h", "__w")
+    )
+    rebuilt = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__para")))
+                ),
+                lambda s: s["__para"],
+            ),
+            "\n\n",
+        ).alias(text)
+    )
+    if drop_empty_docs:
+        return rebuilt
+    return df.select(key).join(rebuilt, on=key, how="left").fillna({text: ""})

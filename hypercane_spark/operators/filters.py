@@ -368,3 +368,91 @@ def off_topic(
     out = j.withColumn(score_col, score.cast("double"))
     out = out.where(pred if keep_on_topic else ~pred)
     return out.drop(*drop_cols)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_2gram_char_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher repetition-filter signals (Rae et al. 2021, A1.1 'repetition
+    removal'): per document, the duplicate-line fraction, the fraction of
+    characters in duplicate lines, and the fraction of (token) characters
+    claimed by the single most common word 2-gram — plus ``repetition_ok``
+    (all three under their thresholds).
+
+    Scale shape: two explode→aggregate pipelines (lines and 2-grams), each
+    ONE shuffle on ``(key, value)`` with map-side partial counts, reduced
+    to per-key stats with a second partial agg on ``key``, then a
+    co-partitioned join on ``key`` (both sides arrive hash-partitioned by
+    key, so AQE plans it shuffle-free). No windows over the full corpus,
+    no driver state — survives any corpus size; a pathological document
+    with millions of lines costs only its own groups."""
+    lines = F.filter(
+        F.split(F.col(text), r"\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    line_rows = df.select(F.col(key), F.explode(lines).alias("__l"))
+    line_counts = line_rows.groupBy(key, "__l").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    line_stats = line_counts.groupBy(key).agg(
+        (1.0 - F.count(F.lit(1)) / F.sum("__c")).alias("dup_line_frac"),
+        (
+            F.sum(F.length("__l") * (F.col("__c") - 1))
+            / F.sum(F.length("__l") * F.col("__c"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    from hypercane_spark.operators.dedup import shingles
+
+    gram_rows = df.select(
+        F.col(key), F.explode(shingles(text, 2)).alias("__g")
+    )
+    gram_counts = gram_rows.groupBy(key, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    top = gram_counts.groupBy(key).agg(
+        F.max(
+            F.struct(
+                F.col("__c"), F.col("__g"), (F.col("__c") * F.length("__g")).alias("__chars")
+            )
+        ).alias("__top"),
+        F.sum(F.col("__c") * F.length("__g")).alias("__total"),
+    )
+    gram_stats = top.select(
+        F.col(key),
+        (F.col("__top.__chars") / F.col("__total")).alias(
+            "top_2gram_char_frac"
+        ),
+    )
+
+    out = df.select(key).join(line_stats, on=key, how="left").join(
+        gram_stats, on=key, how="left"
+    )
+    ok = (
+        (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= max_dup_line_frac)
+        & (
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))
+            <= max_dup_line_char_frac
+        )
+        & (
+            F.coalesce(F.col("top_2gram_char_frac"), F.lit(0.0))
+            <= max_top_2gram_char_frac
+        )
+    )
+    return out.select(
+        key,
+        F.round(F.coalesce(F.col("dup_line_frac"), F.lit(0.0)), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)), 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.coalesce(F.col("top_2gram_char_frac"), F.lit(0.0)), 6
+        ).alias("top_2gram_char_frac"),
+        ok.alias("repetition_ok"),
+    )

@@ -9,6 +9,9 @@
   a query prunes to a handful of files.
 - ``embedding_near_dups``: cosine near-duplicate pairs via the same LSH
   buckets.
+- ``ivf_topk``: the IVF scale path — a coarse quantizer (seed vectors,
+  pyspark.ml KMeans, or caller-supplied centers) assigns each vector to a
+  cell; queries probe only the nearest n_probe cells.
 
 Hyperplanes are generated from a seed on the driver (tiny: d×bits floats)
 and broadcast as literals inside the expression, so the plan stays fully
@@ -134,3 +137,85 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _sqdist(vec: Column, center: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(
+            vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | str = "seed",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every vector to its nearest of ``n_cells`` centroids; a query scans
+    only the ``n_probe`` cells whose centroids are nearest to it —
+    n_probe/n_cells of the corpus, the standard ANN scale path alongside
+    LSH (``lsh_bucket_topk``).
+
+    ``centroids``:
+    - ``"seed"`` (default, oracle-exact): the ``n_cells`` corpus vectors
+      with the lowest keys — fully relational (the DuckDB oracle derives
+      the same cells), deterministic under any partitioning.
+    - ``"ml"``: pyspark.ml KMeans(seed=42) trained cell centers — better
+      cells for production; excluded from the SQL oracle because k-means||
+      init depends on data partitioning.
+    - an explicit ``[(cell_id, center_vec), …]`` list (e.g. from a prior
+      training job).
+
+    Scale shape: assignment is a pure column expression (n_cells literal
+    dot products per row — broadcast-as-literals like the LSH
+    hyperplanes); at rest the assigned table is written partitioned by
+    ``cell`` so a query prunes to n_probe directories; the probe filter +
+    cosine top-k is a TakeOrderedAndProject scan with no shuffle. The only
+    driver action is collecting n_cells centroid rows (a scalar
+    round-trip re-entered as literals — the repo's documented pattern)."""
+    if centroids == "seed":
+        rows = (
+            df.select(key, vec).orderBy(F.col(key).asc()).limit(n_cells).collect()
+        )
+        cents = [(int(r[key]), [float(x) for x in r[vec]]) for r in rows]
+    elif centroids == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        work = df.select(array_to_vector(F.col(vec)).alias("features"))
+        model = KMeans(k=n_cells, seed=42, maxIter=20).fit(work)
+        cents = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    else:
+        cents = [(int(i), [float(x) for x in c]) for i, c in centroids]
+
+    dists = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col(vec), c).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    assigned = df.withColumn("__cell", F.array_min(dists)["cid"])
+
+    qv = np.asarray(query, dtype=np.float64)
+    order = sorted(
+        cents, key=lambda c: (float(np.sum((np.asarray(c[1]) - qv) ** 2)), c[0])
+    )
+    probe_ids = [cid for cid, _ in order[:n_probe]]
+    cand = assigned.where(F.col("__cell").isin(probe_ids)).drop("__cell")
+    return cosine_topk(cand, query, k=k, vec=vec, key=key, score_col=score_col)

@@ -422,3 +422,116 @@ def test_language_id_tiebreak_deterministic(spark):
     # 'de la' hits both es and fr profiles equally -> declaration order (es)
     df = spark.createDataFrame([("de la",)], "text string")
     assert df.select(language_id("text").alias("l")).first()["l"] == "es"
+
+
+# ------------------------------------------ paragraph dedup (CCNet-style)
+
+def test_paragraph_dedup_strips_cross_doc_boilerplate(spark):
+    from hypercane_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "unique one\n\nSHARED FOOTER\n\nalso unique"),
+        (2, "different body\n\nshared   footer"),  # ws/case-normalized dup
+        (3, "SHARED FOOTER"),  # all paragraphs duplicate -> doc dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(df).collect()}
+    assert out[1] == "unique one\n\nSHARED FOOTER\n\nalso unique"
+    assert out[2] == "different body"
+    assert 3 not in out
+    # keep-empty mode keeps doc 3 with empty text
+    from pyspark.sql import functions as F
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(df, drop_empty_docs=False).collect()
+    }
+    assert kept[3] == ""
+
+
+def test_paragraph_dedup_within_doc_duplicates(spark):
+    from hypercane_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(7, "para a\n\npara b\n\npara a")], "doc_id int, text string"
+    )
+    out = paragraph_dedup(df).collect()[0]["text"]
+    assert out == "para a\n\npara b"
+
+
+# ------------------------------------------ gopher quality rules
+
+def test_gopher_quality_flags(spark):
+    from pyspark.sql import functions as F
+    from hypercane_spark.functions.text import gopher_quality_flags
+
+    good = " ".join(
+        "the quick brown fox jumps over that lazy dog with style and grace"
+        .split() * 6
+    )  # 72 words, all alpha, stopword-rich
+    short = "too short"
+    bullety = "\n".join(f"- item {i}" for i in range(10)) + (
+        "\n" + good
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullety), (4, None)],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["g"].asDict()
+        for r in df.select("id", gopher_quality_flags("text").alias("g")).collect()
+        if r["g"] is not None
+    }
+    assert got[1]["pass"] is True
+    assert got[2]["n_words_ok"] is False and got[2]["pass"] is False
+    # 10 of 11 non-empty lines are bullets -> bullet_ok False (>0.9)
+    assert got[3]["bullet_ok"] is False
+
+
+def test_repetition_stats(spark):
+    from hypercane_spark.operators.filters import repetition_stats
+
+    rows = [
+        (1, "alpha beta\ngamma delta\nepsilon zeta"),  # clean
+        (2, "same line\nsame line\nsame line\nother"),  # dup lines
+        (3, "buy now buy now buy now buy now"),  # one dominant 2-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["repetition_ok"] is True
+    assert got[1]["dup_line_frac"] == 0.0
+    # doc 2: 4 lines, 2 distinct -> dup_line_frac = 0.5
+    assert abs(got[2]["dup_line_frac"] - 0.5) < 1e-9
+    assert got[2]["repetition_ok"] is False
+    # doc 3: 'buy now'/'now buy' dominate; top gram well over 20% of chars
+    assert got[3]["top_2gram_char_frac"] > 0.2
+    assert got[3]["repetition_ok"] is False
+
+
+# ------------------------------------------ IVF ANN
+
+def test_ivf_topk_seed_quantizer(spark):
+    import numpy as np
+    from hypercane_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    approx = ivf_topk(df, q, k=5, n_cells=8, n_probe=8)  # probe-all == exact
+    got = [r["vec_id"] for r in approx.collect()]
+    assert got == exact  # probing every cell must recover the exact top-k
+    # partial probe: still returns k rows, query's own vector first
+    part = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_cells=8, n_probe=2).collect()]
+    assert len(part) == 5 and part[0] == 5
+
+
+def test_ivf_topk_ml_engine_smoke(spark):
+    import numpy as np
+    from hypercane_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(df, rows[0][1], k=3, n_cells=4, n_probe=2, centroids="ml")
+    assert len(out.collect()) == 3
