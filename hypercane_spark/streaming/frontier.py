@@ -369,6 +369,11 @@ class CrawlEngine:
                     )
         else:
             frontier = self.seed_frontier(seeds)
+            if self.ckpt:
+                # one-time seed snapshot — the 'round -1' frontier delta;
+                # read back = lineage truncation + exactly what resume sees
+                self.ckpt.write_seeds(frontier)
+                frontier = self.ckpt.read_seeds(spark)
             seen = self.empty_seen()
             self._bloom = None
 
@@ -492,6 +497,37 @@ class CrawlEngine:
             delta = selected.select(F.col("__surt").alias("surt")).distinct()
             new_seen = seen.unionByName(delta)
             links = self._extract_links(fetched, new_seen, rnd)
+            m.timings["links"] = time.time() - t
+
+            t = time.time()
+            if self.ckpt:
+                # Durable state is APPEND-ONLY on both axes: this round's
+                # newly-seen surts AND this round's newly-discovered links
+                # (the frontier delta). The previous shape wrote the whole
+                # merged frontier every round — O(|frontier|) parquet
+                # write+read × rounds, the weakest-scaling crawl stage in
+                # the 1→4-core bench. Resume reconstructs frontier =
+                # merge(seeds ∪ deltas) − seen with the same associative
+                # aggregate (checkpoint.read).
+                self.ckpt.write(
+                    rnd,
+                    links,
+                    delta,
+                    None,  # fetched already written at fetch time
+                    {
+                        "candidates": m.candidates,
+                        "selected": m.selected,
+                        "timings": m.timings,
+                    },
+                )
+                # read-backs: single compute for the delta (the merge below
+                # consumes the disk copy) + lineage truncation for seen
+                links = self.ckpt.read_frontier_delta(spark, rnd)
+                delta_m = self.ckpt.read_seen_delta(spark, rnd)
+            else:
+                # materialize only the delta; the union view over the
+                # per-round deltas is the seen set
+                delta_m = delta.localCheckpoint()
             next_frontier = (
                 deferred.drop("__surt")
                 .unionByName(links)
@@ -504,34 +540,12 @@ class CrawlEngine:
                     F.min("discovered_from").alias("discovered_from"),
                 )
             )
-            m.timings["links"] = time.time() - t
-
-            t = time.time()
-            if self.ckpt:
-                # Only the DELTA is written — the old shape persisted the
-                # entire seen table every round, an O(|seen|) shuffle +
-                # parquet rewrite × rounds that dominates at the 10^10
-                # design scale (measured 7.4 s of a 21.9 s sandbox crawl).
-                # The reader unions the per-round delta directories; resume
-                # semantics are unchanged.
-                self.ckpt.write(
-                    rnd,
-                    next_frontier,
-                    delta,
-                    None,  # fetched already written at fetch time
-                    {
-                        "candidates": m.candidates,
-                        "selected": m.selected,
-                        "timings": m.timings,
-                    },
-                )
-                # re-read = lineage truncation (and exactly what resume sees)
-                _, frontier, seen = self.ckpt.read(spark, rnd)
-            else:
-                frontier = next_frontier.localCheckpoint()
-                # materialize only the delta; the union view over the
-                # already-checkpointed per-round deltas is the seen set
-                seen = seen.unionByName(delta.localCheckpoint())
+            # in-loop frontier state is cluster storage (MEMORY_AND_DISK
+            # localCheckpoint, freed by the ContextCleaner each round);
+            # durability comes from the delta files, not from re-reading a
+            # full frontier table every round
+            frontier = next_frontier.localCheckpoint()
+            seen = seen.unionByName(delta_m)
             m.timings["checkpoint"] = time.time() - t
             if self.cfg.collect_metrics:
                 m.seen_size = seen.count()

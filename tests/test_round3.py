@@ -380,19 +380,65 @@ def test_crawl_seed_miss_does_not_drop_deferred(spark, tmp_path):
 def test_checkpoint_seen_deltas_union(spark, tmp_path):
     from hypercane_spark.streaming.checkpoint import RoundCheckpoint
 
+    FS = (
+        "urim string, urir string, host string, priority double, "
+        "depth int, discovered_from string"
+    )
+
+    def fr(*rows):
+        return spark.createDataFrame(list(rows), FS)
+
+    from hypercane_spark.oracle.crawl import surt_key_py
+
+    def u(name):
+        return f"https://{name}.example/page"
+
     ck = RoundCheckpoint(str(tmp_path / "ck"))
-    f0 = spark.createDataFrame([("a",)], "urim string")
-    ck.write(0, f0, spark.createDataFrame([("s0",), ("s1",)], "surt string"), None, {})
-    ck.write(1, f0, spark.createDataFrame([("s2",)], "surt string"), None, {})
-    rnd, _, seen = ck.read(spark)
+    ck.write_seeds(fr((u("a"), "ra", "h1", 1.0, 0, None)))
+    # round 0: a fetched (seen); discovers b and c
+    ck.write(
+        0,
+        fr(
+            (u("b"), "rb", "h1", 2.0, 1, u("a")),
+            (u("c"), "rc", "h2", 1.0, 1, u("a")),
+        ),
+        spark.createDataFrame([(surt_key_py(u("a")),)], "surt string"),
+        None, {},
+    )
+    # round 1: b+c fetched; b re-discovered at higher priority / deeper
+    # depth (merge must keep max prio, min depth, min discovered_from),
+    # d discovered
+    ck.write(
+        1,
+        fr(
+            (u("b"), "rb", "h1", 3.0, 2, u("z")),
+            (u("d"), "rd", "h2", 1.0, 2, u("c")),
+        ),
+        spark.createDataFrame(
+            [(surt_key_py(u("b")),), (surt_key_py(u("c")),)], "surt string"
+        ),
+        None, {},
+    )
+    rnd, frontier, seen = ck.read(spark)
     assert rnd == 1
-    assert sorted(r["surt"] for r in seen.collect()) == ["s0", "s1", "s2"]
-    # reading an earlier round excludes later deltas
-    _, _, seen0 = ck.read(spark, 0)
-    assert sorted(r["surt"] for r in seen0.collect()) == ["s0", "s1"]
-    # per-round delta dirs exist; no full seen table is ever rewritten
+    assert len(seen.collect()) == 3
+    # per-round delta dirs exist; no full frontier/seen table is rewritten
     assert os.path.isdir(str(tmp_path / "ck" / "round=1" / "seen_delta.parquet"))
+    assert os.path.isdir(
+        str(tmp_path / "ck" / "round=1" / "frontier_delta.parquet")
+    )
     assert not os.path.exists(str(tmp_path / "ck" / "round=1" / "seen.parquet"))
+    assert not os.path.exists(
+        str(tmp_path / "ck" / "round=1" / "frontier.parquet")
+    )
+    # reconstruction = merge(seeds ∪ deltas) − seen: only d remains
+    got = {r["urim"]: r for r in frontier.collect()}
+    assert set(got) == {u("d")}
+    # at round 0, b and c are still frontier (merged, not yet seen)
+    _, f0, seen0 = ck.read(spark, 0)
+    assert len(seen0.collect()) == 1
+    f0_rows = {r["urim"] for r in f0.collect()}
+    assert f0_rows == {u("b"), u("c")}
 
 
 # ------------------------------------------ multiclass language ID
