@@ -4,18 +4,26 @@ Layout (an Iceberg-snapshot stand-in — the sandbox has no Iceberg runtime
 jars; on a real cluster these writes become ``writeTo(...).createOrReplace``
 table snapshots with the same round metadata):
 
-    <base>/round=N/frontier.parquet
-    <base>/round=N/seen_delta.parquet   (ONLY this round's newly-seen surts)
-    <base>/round=N/fetched.parquet      (per-round fetch output, lineage cols)
-    <base>/round=N/manifest.json        (counts + per-stage timings)
+    <base>/seeds.parquet                  (one-time seed frontier snapshot)
+    <base>/round=N/frontier_delta.parquet (ONLY links discovered round N)
+    <base>/round=N/seen_delta.parquet     (ONLY surts first seen round N)
+    <base>/round=N/fetched.parquet        (per-round fetch output + lineage)
+    <base>/round=N/manifest.json          (counts + per-stage timings)
+    <base>/round=N/frontier.parquet ┐ full snapshots: written by compact()
+    <base>/round=N/seen.parquet     ┘ (or by the legacy pre-delta layout)
 
-The seen set is APPEND-ONLY: each round persists only its delta (the surts
-selected that round, disjoint from all earlier rounds by the frontier's
-anti-join), and the reader unions the delta directories — one multi-path
-parquet scan, no shuffle. The old shape rewrote the entire seen table every
-round: O(|seen|) × rounds, the dominant checkpoint cost at the 10^10-URL
-design scale (reference contrast: the O(n) in-memory list it replaces,
-/root/reference/hypercane/identify/archivecrawl.py:13-24).
+Both state axes are APPEND-ONLY: each round persists only its delta (seen:
+the surts selected that round, disjoint from all earlier rounds by the
+frontier's anti-join; frontier: the links discovered that round), and the
+reader reconstructs from the newest full snapshot forward — one multi-path
+parquet scan per axis. The old shape rewrote the entire seen set AND the
+entire merged frontier every round: O(state) × rounds, the dominant
+checkpoint cost at the 10^10-URL design scale (reference contrast: the
+O(n) in-memory list it replaces,
+/root/reference/hypercane/identify/archivecrawl.py:13-24). ``compact()``
+(or ``CrawlConfig.compact_every``) periodically folds the delta chain into
+full snapshots so the resume scan's file count stays bounded on long
+crawls — the Iceberg ``rewrite_data_files`` + snapshot-expiry analog.
 
 Resume reads the highest complete round (or any explicit round) and
 reconstructs frontier + seen exactly — the BASELINE.md resume criterion.
@@ -136,72 +144,155 @@ class RoundCheckpoint:
         with open(os.path.join(self._dir(rnd), "manifest.json")) as f:
             return json.load(f)
 
-    def _seen_paths(self, upto: int) -> list[str]:
-        return [
-            p
-            for r in self.rounds()
-            if r <= upto
-            for p in [os.path.join(self._dir(r), "seen_delta.parquet")]
-            if os.path.isdir(p)
-        ]
+    def compact(
+        self, spark: SparkSession, rnd: int | None = None, prune: bool = False
+    ) -> int:
+        """Fold the delta chain ≤ ``rnd`` into full snapshots at ``rnd``.
+
+        Append-only deltas keep the per-round write O(new state), but a
+        long crawl accumulates one delta directory per round per axis —
+        at the 10^10-URL design scale (thousands of rounds) the resume
+        scan's file-listing and small-file overhead grows linearly with
+        crawl length. Compaction rewrites the reconstruction
+        (``frontier.parquet`` = merge − seen, ``seen.parquet`` = delta
+        union) at round ``rnd``; the reader's newest-full-snapshot-forward
+        rule then starts from the snapshot and touches only later deltas.
+        Iceberg analog: ``rewrite_data_files`` + snapshot expiry.
+
+        Crash-safe: snapshots land via temp-dir + atomic rename, deltas
+        stay authoritative until both renames complete. ``prune=True``
+        removes the subsumed delta dirs and the seed snapshot — after
+        pruning, ``read()`` at rounds < ``rnd`` is no longer possible
+        (manifest history is kept). Returns the compacted round."""
+        import shutil
+
+        rounds = self.rounds()
+        if not rounds:
+            raise FileNotFoundError(f"no complete rounds under {self.base}")
+        rnd = rounds[-1] if rnd is None else rnd
+        _, frontier, seen = self.read(spark, rnd)
+        d = self._dir(rnd)
+        staged = []
+        for df, name in ((frontier, "frontier.parquet"), (seen, "seen.parquet")):
+            tmp = os.path.join(d, f".{name}.compact.tmp")
+            df.write.mode("overwrite").parquet(tmp)
+            staged.append((tmp, os.path.join(d, name)))
+        for tmp, final in staged:  # both written → flip (rename per axis)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+        if prune:
+            for r in rounds:
+                if r > rnd:
+                    continue
+                for name in ("frontier_delta.parquet", "seen_delta.parquet"):
+                    shutil.rmtree(
+                        os.path.join(self._dir(r), name), ignore_errors=True
+                    )
+                if r < rnd:
+                    for name in ("frontier.parquet", "seen.parquet"):
+                        shutil.rmtree(
+                            os.path.join(self._dir(r), name),
+                            ignore_errors=True,
+                        )
+            shutil.rmtree(
+                os.path.join(self.base, "seeds.parquet"), ignore_errors=True
+            )
+        return rnd
 
     def read(
         self, spark: SparkSession, rnd: int | None = None
     ) -> tuple[int, DataFrame, DataFrame]:
         """→ (round, frontier, seen). rnd=None → latest complete round.
 
-        seen = union of all per-round delta directories ≤ rnd (one
-        multi-path scan). frontier = merge(newest full snapshot ≤ rnd —
-        legacy layout — ∪ seeds ∪ later frontier deltas) with the engine's
-        associative merge aggregate, minus seen (surt anti-join). Legacy
-        full-table ``frontier.parquet`` / ``seen.parquet`` checkpoints are
-        still readable; mixed layouts reconstruct from the newest full
-        snapshot forward."""
-        from pyspark.sql import functions as F
+        Both state axes read as **newest full snapshot ≤ rnd, then deltas
+        after it** (one multi-path scan each): seen = snapshot ∪ later
+        ``seen_delta`` dirs; frontier = merge(snapshot — or seeds when no
+        snapshot exists — ∪ later ``frontier_delta`` dirs) with the
+        engine's associative merge aggregate, minus seen (surt anti-join).
+        Legacy full-table layouts (a snapshot at every round, no deltas)
+        and post-``compact()`` layouts both degenerate to the snapshot
+        alone; pure-delta layouts to the delta union.
 
-        from hypercane_spark.functions.urls import surt_key
-
+        This reconstruction is not a resume-only path: the engine runs
+        **merge-on-read** — every round's frontier IS this formula over
+        the delta log (see frontier.py), so resume and the in-loop state
+        are the same computation by construction."""
         rounds = self.rounds()
         if not rounds:
             raise FileNotFoundError(f"no complete rounds under {self.base}")
         rnd = rounds[-1] if rnd is None else rnd
-        d = self._dir(rnd)
-        delta_paths = self._seen_paths(rnd)
-        if delta_paths:
-            seen = spark.read.parquet(*delta_paths)
-        else:  # pre-delta layout: full seen table at the round itself
-            seen = spark.read.parquet(os.path.join(d, "seen.parquet"))
+        seen = self.read_seen(spark, rnd)
+        frontier = self._drop_seen(
+            self.read_frontier_raw(spark, rnd), seen
+        )
+        return rnd, frontier, seen
 
+    def _axis_paths(
+        self, full_name: str, delta_name: str, upto: int
+    ) -> list[str]:
+        """Newest full snapshot ≤ upto, then that axis's delta dirs after
+        it — the multi-path scan list for one state axis."""
+        rounds = self.rounds()
         fulls = [
             r
             for r in rounds
-            if r <= rnd
-            and os.path.isdir(os.path.join(self._dir(r), "frontier.parquet"))
+            if r <= upto
+            and os.path.isdir(os.path.join(self._dir(r), full_name))
         ]
         base_r = max(fulls) if fulls else None
         paths: list[str] = []
         if base_r is not None:
-            paths.append(os.path.join(self._dir(base_r), "frontier.parquet"))
-        elif os.path.isdir(os.path.join(self.base, "seeds.parquet")):
-            paths.append(os.path.join(self.base, "seeds.parquet"))
+            paths.append(os.path.join(self._dir(base_r), full_name))
         paths += [
             p
             for r in rounds
-            if r <= rnd and (base_r is None or r > base_r)
-            for p in [os.path.join(self._dir(r), "frontier_delta.parquet")]
+            if r <= upto and (base_r is None or r > base_r)
+            for p in [os.path.join(self._dir(r), delta_name)]
             if os.path.isdir(p)
         ]
+        return paths
+
+    def read_seen(self, spark: SparkSession, upto: int) -> DataFrame:
+        """seen surts after round ``upto`` = newest full snapshot ∪ later
+        deltas. Empty DataFrame when nothing is checkpointed yet."""
+        paths = self._axis_paths("seen.parquet", "seen_delta.parquet", upto)
+        if not paths:
+            return spark.createDataFrame([], "surt string")
+        return spark.read.parquet(*paths)
+
+    def read_frontier_raw(self, spark: SparkSession, upto: int) -> DataFrame:
+        """UNMERGED frontier log through round ``upto``: newest full
+        snapshot (or the seed snapshot) ∪ later per-round link deltas,
+        folded by the engine's associative merge aggregate — but NOT yet
+        filtered against seen. Constant-depth plan: pure multi-path file
+        scan + one aggregate, whatever the round count."""
+        from pyspark.sql import functions as F
+
+        paths = self._axis_paths(
+            "frontier.parquet", "frontier_delta.parquet", upto
+        )
+        if not any(p.endswith("frontier.parquet") for p in paths) and (
+            os.path.isdir(os.path.join(self.base, "seeds.parquet"))
+        ):
+            paths.insert(0, os.path.join(self.base, "seeds.parquet"))
         raw = spark.read.parquet(*paths)
-        merged = raw.groupBy("urim").agg(
+        return raw.groupBy("urim").agg(
             F.first("urir").alias("urir"),
             F.first("host").alias("host"),
             F.max("priority").alias("priority"),
             F.min("depth").alias("depth"),
             F.min("discovered_from").alias("discovered_from"),
         )
-        frontier = (
+
+    @staticmethod
+    def _drop_seen(merged: DataFrame, seen: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from hypercane_spark.functions.urls import surt_key
+
+        return (
             merged.withColumn("__surt", surt_key(F.col("urim")))
             .join(seen, F.col("__surt") == seen["surt"], "left_anti")
             .drop("__surt")
         )
-        return rnd, frontier, seen

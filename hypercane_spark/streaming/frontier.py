@@ -12,7 +12,9 @@ where every round is one declarative DataFrame job:
             ──fetch: broadcast/shuffle join against the web/payload table,
               lineage columns stamped (round, fetch_ts, partition_id)
             ──link extraction: explode(outlinks) → canonicalize (SURT)
-            ──dedup vs seen ∪ selected → next frontier
+            ──dedup vs seen ∪ selected → this round's LINK DELTA, appended
+              to the frontier log; the next round's frontier is
+              merge-on-read over the log (seed snapshot ∪ deltas)
 
 Determinism contract (BASELINE crawl-order fidelity): the global pop order
 is (round asc, priority desc, urim asc) under per-host budget B and depth
@@ -23,9 +25,13 @@ than one partition) splits a host's queue into ``salt`` sub-queues for
 unaffected.
 
 Scale notes (10^10-URL design):
-- frontier and seen never touch the driver; each round's state is written
-  to round-partitioned parquet (Iceberg-snapshot stand-in) which also
-  truncates the iterative lineage.
+- frontier and seen never touch the driver, and neither is EVER
+  materialized whole: durable state is an append-only delta log (one-time
+  seed snapshot + per-round link/seen deltas, O(new rows) written per
+  round), and every round's frontier is a constant-depth merge-on-read
+  plan over that log — no per-round lineage truncation, no O(|frontier|)
+  store. Periodic compaction (CrawlConfig.compact_every) bounds the log's
+  file count.
 - seen-membership is a sharded bloom prefilter (bit positions computed
   JVM-side) + LEFT ANTI JOIN exact backstop; the anti-join shuffles only
   bloom-positive candidates — at steady state a tiny fraction of the round.
@@ -78,6 +84,11 @@ class CrawlConfig:
     use_bloom: bool = True
     seen_filter: str = "bloom"  # "bloom" | "cuckoo" (use_bloom=False → exact)
     cuckoo_capacity: int = 1 << 18
+    # every K checkpointed rounds, fold the delta chain into full
+    # frontier/seen snapshots and prune the subsumed delta dirs
+    # (RoundCheckpoint.compact): bounds resume-scan file count on long
+    # crawls while keeping per-round writes O(new state). None = never.
+    compact_every: int | None = None
     verify_payload: bool = False  # phash/PSNR fidelity check at fetch time
     psnr_sample_mod: int = 1  # >1: deep PSNR audit on 1/mod of image ids
     collect_metrics: bool = True  # False drops optional per-round counts
@@ -138,6 +149,10 @@ class CrawlEngine:
         # fingerprint-table filter (same prefilter + exact-backstop shape).
         self._bloom: bytes | None = None
         self._cuckoo = None
+        # ckpt-less merge-on-read delta log: seed part + per-round link
+        # parts, each localCheckpointed (with a checkpoint dir the log is
+        # the on-disk delta files instead)
+        self._parts: list[DataFrame] = []
 
     # -------------------------------------------------------------- seeds
 
@@ -153,6 +168,21 @@ class CrawlEngine:
 
     def empty_seen(self) -> DataFrame:
         return self.spark.createDataFrame([], "surt string")
+
+    def _merge_parts(self) -> DataFrame:
+        """ckpt-less merge-on-read: fold the in-memory delta parts (seed
+        snapshot + per-round link deltas, each localCheckpointed) with the
+        same associative aggregate the checkpoint reader uses."""
+        raw = self._parts[0]
+        for p in self._parts[1:]:
+            raw = raw.unionByName(p)
+        return raw.groupBy("urim").agg(
+            F.first("urir").alias("urir"),
+            F.first("host").alias("host"),
+            F.max("priority").alias("priority"),
+            F.min("depth").alias("depth"),
+            F.min("discovered_from").alias("discovered_from"),
+        )
 
     # -------------------------------------------------------------- round
 
@@ -352,7 +382,8 @@ class CrawlEngine:
         spark = self.spark
         start_round = 0
         if resume and self.ckpt and self.ckpt.rounds():
-            start_round, frontier, seen = self.ckpt.read(spark)
+            start_round = self.ckpt.rounds()[-1]
+            seen = self.ckpt.read_seen(spark, start_round)
             start_round += 1
             if self.cfg.use_bloom and not seen.isEmpty():
                 if self.cfg.seen_filter == "cuckoo":
@@ -368,12 +399,12 @@ class CrawlEngine:
                         seen, "surt", self.cfg.bloom_bits, self.cfg.bloom_hashes
                     )
         else:
-            frontier = self.seed_frontier(seeds)
             if self.ckpt:
                 # one-time seed snapshot — the 'round -1' frontier delta;
-                # read back = lineage truncation + exactly what resume sees
-                self.ckpt.write_seeds(frontier)
-                frontier = self.ckpt.read_seeds(spark)
+                # every round's merge-on-read scan starts from it
+                self.ckpt.write_seeds(self.seed_frontier(seeds))
+            else:
+                self._parts = [self.seed_frontier(seeds).localCheckpoint()]
             seen = self.empty_seen()
             self._bloom = None
 
@@ -382,11 +413,31 @@ class CrawlEngine:
             m = RoundMetrics(round=rnd)
             t0 = time.time()
 
+            # MERGE-ON-READ: the frontier is never materialized as a
+            # table. Each round reconstructs it lazily from the append-only
+            # delta log — seed snapshot ∪ per-round link deltas (files
+            # under the checkpoint; localCheckpointed parts without one) —
+            # folded by one associative aggregate, then seen-filtered. The
+            # plan is constant-depth whatever the round count (a multi-path
+            # file scan + one shuffle), so no per-round lineage truncation
+            # or O(|frontier|) store exists at all. Measured against both
+            # prior shapes (full-frontier parquet rewrite; per-round
+            # localCheckpoint) this deletes one whole O(|frontier|)
+            # materialization job per round, and it is the only shape that
+            # survives a 10^10-row frontier — rewriting or caching the
+            # frontier per round is O(F)·rounds storage traffic, the delta
+            # log is O(new links). Iceberg analog: merge-on-read table,
+            # compact() = rewrite_data_files.
+            #
             # The seen-dedup is left lazy: its work folds into the
             # schedule/fetch jobs below. selected == 0 subsumes the
             # candidates == 0 stop (selected ⊆ candidates, and a nonzero
             # robots-allowed set always selects ≥ 1 under budget ≥ 1), so
             # no separate count action is needed per round.
+            if self.ckpt:
+                frontier = self.ckpt.read_frontier_raw(spark, rnd - 1)
+            else:
+                frontier = self._merge_parts()
             cand = self._not_seen(frontier, seen)
             if self.cfg.collect_metrics:
                 m.candidates = cand.count()
@@ -400,7 +451,10 @@ class CrawlEngine:
                 if self.robots is not None
                 else cand
             )
-            selected, deferred = self._politeness_select(allowed)
+            # deferred rows need no explicit carry: anything discovered but
+            # not selected stays in the delta log and re-surfaces from the
+            # next round's merge-on-read scan
+            selected, _deferred = self._politeness_select(allowed)
             selected = selected.persist()
             m.timings["schedule"] = time.time() - t
 
@@ -503,12 +557,9 @@ class CrawlEngine:
             if self.ckpt:
                 # Durable state is APPEND-ONLY on both axes: this round's
                 # newly-seen surts AND this round's newly-discovered links
-                # (the frontier delta). The previous shape wrote the whole
-                # merged frontier every round — O(|frontier|) parquet
-                # write+read × rounds, the weakest-scaling crawl stage in
-                # the 1→4-core bench. Resume reconstructs frontier =
-                # merge(seeds ∪ deltas) − seen with the same associative
-                # aggregate (checkpoint.read).
+                # (the frontier delta). Nothing else — the merged frontier
+                # is never written (or cached) anywhere; the next round's
+                # merge-on-read scan consumes these files directly.
                 self.ckpt.write(
                     rnd,
                     links,
@@ -520,32 +571,23 @@ class CrawlEngine:
                         "timings": m.timings,
                     },
                 )
-                # read-backs: single compute for the delta (the merge below
-                # consumes the disk copy) + lineage truncation for seen
-                links = self.ckpt.read_frontier_delta(spark, rnd)
-                delta_m = self.ckpt.read_seen_delta(spark, rnd)
+                if (
+                    self.cfg.compact_every
+                    and (rnd + 1) % self.cfg.compact_every == 0
+                ):
+                    # fold the delta chain ≤ rnd into full snapshots and
+                    # prune the subsumed delta dirs — bounds the per-round
+                    # multi-path scan's file count on long crawls. Safe
+                    # in-loop: every state DataFrame is rebuilt from
+                    # _axis_paths at its next use, which sees the snapshot.
+                    self.ckpt.compact(spark, rnd, prune=True)
+                # constant-depth file-backed seen view (no union lineage)
+                seen = self.ckpt.read_seen(spark, rnd)
             else:
-                # materialize only the delta; the union view over the
-                # per-round deltas is the seen set
-                delta_m = delta.localCheckpoint()
-            next_frontier = (
-                deferred.drop("__surt")
-                .unionByName(links)
-                .groupBy("urim")
-                .agg(
-                    F.first("urir").alias("urir"),
-                    F.first("host").alias("host"),
-                    F.max("priority").alias("priority"),
-                    F.min("depth").alias("depth"),
-                    F.min("discovered_from").alias("discovered_from"),
-                )
-            )
-            # in-loop frontier state is cluster storage (MEMORY_AND_DISK
-            # localCheckpoint, freed by the ContextCleaner each round);
-            # durability comes from the delta files, not from re-reading a
-            # full frontier table every round
-            frontier = next_frontier.localCheckpoint()
-            seen = seen.unionByName(delta_m)
+                # ckpt-less mode: the delta log lives in cluster storage —
+                # localCheckpointed parts, same merge-on-read formula
+                self._parts.append(links.localCheckpoint())
+                seen = seen.unionByName(delta.localCheckpoint())
             m.timings["checkpoint"] = time.time() - t
             if self.cfg.collect_metrics:
                 m.seen_size = seen.count()

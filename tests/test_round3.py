@@ -441,6 +441,143 @@ def test_checkpoint_seen_deltas_union(spark, tmp_path):
     assert f0_rows == {u("b"), u("c")}
 
 
+def test_checkpoint_compact_prune_and_continue(spark, tmp_path):
+    """compact() folds the delta chain into snapshots: read() is unchanged
+    before/after, subsumed delta dirs (and seeds) are pruned, and a
+    post-compaction delta round reconstructs snapshot-forward."""
+    from hypercane_spark.oracle.crawl import surt_key_py
+    from hypercane_spark.streaming.checkpoint import RoundCheckpoint
+
+    FS = (
+        "urim string, urir string, host string, priority double, "
+        "depth int, discovered_from string"
+    )
+
+    def fr(*rows):
+        return spark.createDataFrame(list(rows), FS)
+
+    def u(name):
+        return f"https://{name}.example/page"
+
+    def surts(*names):
+        return spark.createDataFrame(
+            [(surt_key_py(u(n)),) for n in names], "surt string"
+        )
+
+    ck = RoundCheckpoint(str(tmp_path / "ck"))
+    ck.write_seeds(fr((u("a"), "ra", "h1", 1.0, 0, None)))
+    ck.write(
+        0,
+        fr((u("b"), "rb", "h1", 2.0, 1, u("a")),
+           (u("c"), "rc", "h2", 1.0, 1, u("a"))),
+        surts("a"), None, {},
+    )
+    ck.write(
+        1,
+        fr((u("b"), "rb", "h1", 3.0, 2, u("z")),
+           (u("d"), "rd", "h2", 1.0, 2, u("c"))),
+        surts("b", "c"), None, {},
+    )
+    _, f_before, s_before = ck.read(spark)
+    before = {
+        (r["urim"], r["priority"], r["depth"]) for r in f_before.collect()
+    }
+    seen_before = {r["surt"] for r in s_before.collect()}
+
+    assert ck.compact(spark, prune=True) == 1
+    base = tmp_path / "ck"
+    assert os.path.isdir(str(base / "round=1" / "frontier.parquet"))
+    assert os.path.isdir(str(base / "round=1" / "seen.parquet"))
+    for gone in [
+        base / "seeds.parquet",
+        base / "round=0" / "frontier_delta.parquet",
+        base / "round=0" / "seen_delta.parquet",
+        base / "round=1" / "frontier_delta.parquet",
+        base / "round=1" / "seen_delta.parquet",
+    ]:
+        assert not os.path.exists(str(gone)), gone
+    # manifests survive (round listing / metrics history)
+    assert ck.rounds() == [0, 1]
+
+    _, f_after, s_after = ck.read(spark)
+    assert {
+        (r["urim"], r["priority"], r["depth"]) for r in f_after.collect()
+    } == before
+    assert {r["surt"] for r in s_after.collect()} == seen_before
+
+    # post-compaction delta round: snapshot-forward reconstruction
+    ck.write(
+        2,
+        fr((u("e"), "re", "h1", 5.0, 3, u("d"))),
+        surts("d"), None, {},
+    )
+    _, f2, s2 = ck.read(spark)
+    assert {r["urim"] for r in f2.collect()} == {u("e")}
+    assert {r["surt"] for r in s2.collect()} == {
+        surt_key_py(u(n)) for n in "abcd"
+    }
+
+
+def test_crawl_compact_every_matches_uncompacted(spark, tmp_path):
+    """Engine-level: compact_every must not change crawl order, the seen
+    set, or resume behavior."""
+    from hypercane_spark.streaming.frontier import CrawlConfig, CrawlEngine
+    from hypercane_spark.synth import gen_link_graph
+
+    WEB_SCHEMA = (
+        "urim string, urir string, host string, memento_datetime timestamp, "
+        "damage double, priority double, image_id string, "
+        "outlinks array<string>"
+    )
+    rows = gen_link_graph(n_urls=150)
+    cols = [c.split()[0] for c in WEB_SCHEMA.split(", ")]
+    web = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows], WEB_SCHEMA
+    ).cache()
+    seeds = sorted(r["urim"] for r in rows)[::15]
+    seed_df = spark.createDataFrame([(u,) for u in seeds], "urim string")
+
+    base_cfg = CrawlConfig(per_host_budget=3, max_depth=3, max_rounds=8)
+    plain = CrawlEngine(
+        spark, web, checkpoint_dir=str(tmp_path / "plain"), config=base_cfg
+    )
+    order_plain = plain.pop_order(plain.run(seed_df))
+
+    cfg_c = CrawlConfig(
+        per_host_budget=3, max_depth=3, max_rounds=8, compact_every=2
+    )
+    compacted = CrawlEngine(
+        spark, web, checkpoint_dir=str(tmp_path / "comp"), config=cfg_c
+    )
+    order_comp = compacted.pop_order(compacted.run(seed_df))
+    assert order_comp == order_plain
+
+    seen_plain = {
+        r["surt"] for r in plain.ckpt.read(spark)[2].collect()
+    }
+    seen_comp = {
+        r["surt"] for r in compacted.ckpt.read(spark)[2].collect()
+    }
+    assert seen_comp == seen_plain
+
+    # resume from the compacted checkpoint continues identically
+    cfg_more = CrawlConfig(
+        per_host_budget=3, max_depth=3, max_rounds=12, compact_every=2
+    )
+    resumed = CrawlEngine(
+        spark, web, checkpoint_dir=str(tmp_path / "comp"), config=cfg_more
+    )
+    cfg_full = CrawlConfig(per_host_budget=3, max_depth=3, max_rounds=12)
+    full = CrawlEngine(
+        spark, web, checkpoint_dir=str(tmp_path / "full12"), config=cfg_full
+    )
+    order_full = full.pop_order(full.run(seed_df))
+    order_resumed = order_comp + resumed.pop_order(
+        resumed.run(seed_df, resume=True)
+    )
+    assert order_resumed == order_full
+
+
 # ------------------------------------------ multiclass language ID
 
 def test_language_id_multiclass(spark):
