@@ -261,14 +261,15 @@ class RoundCheckpoint:
             return spark.createDataFrame([], "surt string")
         return spark.read.parquet(*paths)
 
-    def read_frontier_raw(self, spark: SparkSession, upto: int) -> DataFrame:
-        """UNMERGED frontier log through round ``upto``: newest full
-        snapshot (or the seed snapshot) ∪ later per-round link deltas,
-        folded by the engine's associative merge aggregate — but NOT yet
-        filtered against seen. Constant-depth plan: pure multi-path file
-        scan + one aggregate, whatever the round count."""
-        from pyspark.sql import functions as F
-
+    def read_frontier_log(self, spark: SparkSession, upto: int) -> DataFrame:
+        """RAW frontier log through round ``upto``: newest full snapshot
+        (or the seed snapshot) ∪ later per-round link deltas — one
+        multi-path file scan, duplicates across rounds NOT yet folded.
+        Constant-depth plan whatever the round count. The engine filters
+        this row-wise against seen BEFORE the merge aggregate (seen is
+        keyed on surt(urim), so a urim's copies are all-seen or all-new —
+        the pushdown cannot change the merged result, it only keeps
+        already-fetched rows out of the merge shuffle)."""
         paths = self._axis_paths(
             "frontier.parquet", "frontier_delta.parquet", upto
         )
@@ -276,13 +277,23 @@ class RoundCheckpoint:
             os.path.isdir(os.path.join(self.base, "seeds.parquet"))
         ):
             paths.insert(0, os.path.join(self.base, "seeds.parquet"))
-        raw = spark.read.parquet(*paths)
-        return raw.groupBy("urim").agg(
-            F.first("urir").alias("urir"),
-            F.first("host").alias("host"),
-            F.max("priority").alias("priority"),
-            F.min("depth").alias("depth"),
-            F.min("discovered_from").alias("discovered_from"),
+        return spark.read.parquet(*paths)
+
+    def read_frontier_raw(self, spark: SparkSession, upto: int) -> DataFrame:
+        """Merged (but not seen-filtered) frontier through round ``upto``:
+        the log folded by the engine's associative merge aggregate."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.read_frontier_log(spark, upto)
+            .groupBy("urim")
+            .agg(
+                F.first("urir").alias("urir"),
+                F.first("host").alias("host"),
+                F.max("priority").alias("priority"),
+                F.min("depth").alias("depth"),
+                F.min("discovered_from").alias("discovered_from"),
+            )
         )
 
     @staticmethod

@@ -169,19 +169,31 @@ class CrawlEngine:
     def empty_seen(self) -> DataFrame:
         return self.spark.createDataFrame([], "surt string")
 
-    def _merge_parts(self) -> DataFrame:
-        """ckpt-less merge-on-read: fold the in-memory delta parts (seed
-        snapshot + per-round link deltas, each localCheckpointed) with the
-        same associative aggregate the checkpoint reader uses."""
+    def _union_parts(self) -> DataFrame:
+        """ckpt-less frontier log: the in-memory delta parts (seed
+        snapshot + per-round link deltas, each localCheckpointed)."""
         raw = self._parts[0]
         for p in self._parts[1:]:
             raw = raw.unionByName(p)
-        return raw.groupBy("urim").agg(
+        return raw
+
+    @staticmethod
+    def _merge_candidates(cand: DataFrame) -> DataFrame:
+        """Fold duplicate discoveries of a urim across the (already
+        seen-filtered) log with the engine's associative merge aggregate.
+        Runs AFTER _not_seen by design — a manual pushdown of the seen
+        anti-join through the aggregate (legal because seen is keyed on
+        surt(urim): a urim's copies are all-seen or all-new), so rows
+        already fetched never enter the merge shuffle. At steady state
+        most log rows ARE seen — without the pushdown the merge would
+        shuffle the whole log every round."""
+        return cand.groupBy("urim").agg(
             F.first("urir").alias("urir"),
             F.first("host").alias("host"),
             F.max("priority").alias("priority"),
             F.min("depth").alias("depth"),
             F.min("discovered_from").alias("discovered_from"),
+            F.first("__surt").alias("__surt"),
         )
 
     # -------------------------------------------------------------- round
@@ -417,7 +429,8 @@ class CrawlEngine:
             # table. Each round reconstructs it lazily from the append-only
             # delta log — seed snapshot ∪ per-round link deltas (files
             # under the checkpoint; localCheckpointed parts without one) —
-            # folded by one associative aggregate, then seen-filtered. The
+            # seen-filtered row-wise, then folded by one associative
+            # aggregate (filter first, so fetched rows skip the shuffle). The
             # plan is constant-depth whatever the round count (a multi-path
             # file scan + one shuffle), so no per-round lineage truncation
             # or O(|frontier|) store exists at all. Measured against both
@@ -434,11 +447,15 @@ class CrawlEngine:
             # candidates == 0 stop (selected ⊆ candidates, and a nonzero
             # robots-allowed set always selects ≥ 1 under budget ≥ 1), so
             # no separate count action is needed per round.
-            if self.ckpt:
-                frontier = self.ckpt.read_frontier_raw(spark, rnd - 1)
-            else:
-                frontier = self._merge_parts()
-            cand = self._not_seen(frontier, seen)
+            log = (
+                self.ckpt.read_frontier_log(spark, rnd - 1)
+                if self.ckpt
+                else self._union_parts()
+            )
+            # seen filter FIRST (row-wise bloom/cuckoo prefilter + exact
+            # anti-join backstop), merge aggregate SECOND: fetched rows
+            # stay out of the merge shuffle (see _merge_candidates)
+            cand = self._merge_candidates(self._not_seen(log, seen))
             if self.cfg.collect_metrics:
                 m.candidates = cand.count()
             m.timings["dedup"] = time.time() - t0
