@@ -81,14 +81,41 @@ def main() -> None:
         rep["crawl"]["median_mementos_per_sec"] = med
         return rep, tps
 
-    # alternate levels per rep? sequential is fine: fresh JVM per run, and
-    # each level's reps bracket the other's in wall-clock anyway
-    lo, tps_lo = reps_at(args.low)
-    hi, tps_hi = reps_at(args.high)
-    tp_lo = lo["crawl"]["median_mementos_per_sec"]
-    tp_hi = hi["crawl"]["median_mementos_per_sec"]
-    eff = (tp_hi / tp_lo) / factor
-    eff_best = (max(tps_hi) / max(tps_lo)) / factor
+    # INTERLEAVED PAIRS, not sequential levels: this host's throughput
+    # drifts ±40% across hours (same code measured 7266 → 3500 m/s at
+    # local[4] in one afternoon), so running all low reps then all high
+    # reps lets the drift of whichever hour each level landed in masquerade
+    # as (in)efficiency. Each rep runs low then high back-to-back (order
+    # alternated to cancel linear drift within the pair), the efficiency is
+    # computed PER PAIR, and the headline is the median pair efficiency —
+    # slow hours shift both halves of a pair together and cancel.
+    pairs: list[tuple[dict, dict]] = []
+    for i in range(args.reps):
+        order = (args.low, args.high) if i % 2 == 0 else (args.high, args.low)
+        got = {c: run_at(c, env_extra) for c in order}
+        pairs.append((got[args.low], got[args.high]))
+    tps_lo = sorted(p[0]["crawl"]["mementos_per_sec"] for p in pairs)
+    tps_hi = sorted(p[1]["crawl"]["mementos_per_sec"] for p in pairs)
+    effs = sorted(
+        (p[1]["crawl"]["mementos_per_sec"] / p[0]["crawl"]["mementos_per_sec"])
+        / factor
+        for p in pairs
+    )
+    n = len(effs)
+    eff = effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2
+    eff_best = max(effs)
+    # stage detail from the pair whose efficiency IS the (lower-)median
+    med_pair = min(
+        pairs,
+        key=lambda p: abs(
+            (p[1]["crawl"]["mementos_per_sec"] / p[0]["crawl"]["mementos_per_sec"])
+            / factor
+            - eff
+        ),
+    )
+    lo, hi = med_pair
+    tp_lo = lo["crawl"]["mementos_per_sec"]
+    tp_hi = hi["crawl"]["mementos_per_sec"]
 
     # append-only seen-checkpoint evidence: the per-round checkpoint series
     # must not trend upward with |seen| (allow 1.5x first→last headroom for
@@ -101,7 +128,8 @@ def main() -> None:
         "metric": "crawl scaling efficiency",
         "value": round(eff, 3),
         "unit": f"(tp@local[{args.high}] / tp@local[{args.low}]) / {factor:g}"
-                f" — median of {args.reps} reps/level",
+                f" — median of {args.reps} interleaved pairs",
+        "pair_efficiencies": [round(e, 3) for e in effs],
         "efficiency_best_of": round(eff_best, 3),
         "reps_low_tps": tps_lo,
         "reps_high_tps": tps_hi,
@@ -123,17 +151,20 @@ def main() -> None:
     section = f"""{marker}
 
 Same crawl job, same deterministic input (seed 42,
-{report['n_urls']} URLs), fresh JVM per run, {args.reps} reps per level —
+{report['n_urls']} URLs), fresh JVM per run, {args.reps} INTERLEAVED
+low/high pairs (this host's throughput drifts ±40% across hours, so
+efficiency is computed per back-to-back pair and the median pair is the
+headline — drift between pairs cancels; order alternates within pairs) —
 `python tools/bench_scaling.py --low {args.low} --high {args.high} --reps {args.reps}`:
 
-| config | median mementos/sec | all reps |
+| config | median-pair mementos/sec | all reps (sorted) |
 |---|---|---|
 | `local[{args.low}]` (N) | {tp_lo} | {tps_lo} |
 | `local[{args.high}]` (4N) | {tp_hi} | {tps_hi} |
 
-**Scaling efficiency (median of {args.reps}) = (tp_4N / tp_N) / {factor:g} =
-{eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"});
-best-of-reps efficiency = {eff_best:.3f}.
+**Scaling efficiency (median of {args.reps} pair efficiencies
+{[round(e, 3) for e in effs]}) = {eff:.3f}** (target ≥ 0.8 →
+{"PASS" if eff >= 0.8 else "FAIL"}); best pair = {eff_best:.3f}.
 
 {_fidelity_md(report['fidelity'], args.high)}
 Stage wall-times (`local[{args.high}]` median run, summed over rounds):
