@@ -55,10 +55,21 @@ def test_simhash_dedup(spark, docs):
 
 
 def test_ngram_jaccard_pairs(spark, docs):
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2)
+    # bands must match the verify threshold: the LSH s-curve midpoint is
+    # ~(1/bands)^(bands/num_perm), so at threshold 0.5 use 16 perms / 8
+    # bands (r=2, midpoint ≈ 0.35; J=0.78 pair caught w.p. ≈ 0.999 —
+    # deterministic here, the hash family is fixed). The library default
+    # (bands=4, r=4, midpoint ≈ 0.7) targets the 0.8 default threshold
+    # and deterministically misses a 0.78 pair with this family.
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2, bands=8)
     got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got[(0, 1)] == 1.0
     assert (0, 3) in got and 0.5 <= got[(0, 3)] < 1.0
+    # exact dups (J=1.0) collide in EVERY band — found at the default
+    # parameterization too
+    d = D.ngram_jaccard_pairs(docs, threshold=0.8, shingle_n=2)
+    dd = {(r["doc_id_a"], r["doc_id_b"]) for r in d.collect()}
+    assert (0, 1) in dd
 
 
 @pytest.fixture(scope="module")
