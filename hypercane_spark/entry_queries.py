@@ -1065,8 +1065,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir)
+    # bands pinned to 4: the hand-written oracle SQL above derives its
+    # candidate buckets with the 4-band _MINHASH_BANDS_SQL fragment, so the
+    # Spark side must not auto-derive a different banding from the threshold
     return ngram_jaccard_pairs(
-        d, text="text", key="doc_id", threshold=0.5, shingle_n=3
+        d, text="text", key="doc_id", threshold=0.5, shingle_n=3, bands=4
     )
 
 

@@ -49,10 +49,18 @@ class ErrorStore:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
+        # Only a missing store reads as empty. A corrupt/unreadable store
+        # must PROPAGATE — swallowing it would make exclude() silently stop
+        # filtering previously-failed URIs and mask real IO failures.
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(self.path)
-        except Exception:
-            return spark.createDataFrame([], ERRORS_SCHEMA)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return spark.createDataFrame([], ERRORS_SCHEMA)
+            raise
 
     def exclude(self, df: DataFrame, key: str = "urim") -> DataFrame:
         """Drop rows whose key was ever recorded as errored (the reference's

@@ -225,8 +225,18 @@ def write_warcs(
     def write_partition(rows) -> None:
         import gzip
         import hashlib
+        import uuid
 
+        # Task-attempt atomicity: write to a unique temp name and
+        # os.replace() to {md5(seed)}.warc.gz only on successful close. A
+        # failed/retried or speculative task otherwise leaves a PARTIAL
+        # .warc.gz that skip-if-exists (here and on any later resume) would
+        # silently commit as final output. With the rename, only complete
+        # files ever bear the final name, so skip-if-exists only matches
+        # complete files; an abandoned attempt leaves a .tmp that the final
+        # loop never promotes.
         handles: dict = {}
+        tmp_paths: dict = {}
         for r in rows:
             s = r[seed]
             if s not in handles:
@@ -236,8 +246,12 @@ def write_warcs(
                 if os.path.exists(path):  # reference skip-if-exists resume
                     handles[s] = None
                     continue
-                fh = open(path, "wb")
+                tmp = os.path.join(
+                    out_dir, f".{urlhash}.{uuid.uuid4().hex}.tmp"
+                )
+                fh = open(tmp, "wb")
                 handles[s] = fh
+                tmp_paths[s] = (tmp, path)
                 date0 = (
                     r[mdt].strftime("%Y-%m-%dT%H:%M:%SZ")
                     if have_mdt and r[mdt] is not None
@@ -263,9 +277,11 @@ def write_warcs(
                 ),
             )
             fh.write(gzip.compress(rec, mtime=0))
-        for fh in handles.values():
+        for s, fh in handles.items():
             if fh is not None:
                 fh.close()
+                tmp, path = tmp_paths[s]
+                os.replace(tmp, path)
 
     work.foreachPartition(write_partition)
 

@@ -461,10 +461,11 @@ class CrawlEngine:
             m.timings["dedup"] = time.time() - t0
 
             t = time.time()
+            # crawl_delay must survive until AFTER _politeness_select — the
+            # round_seconds cap reads it there (dropping it here made the
+            # per-host crawl-delay budget a silent no-op)
             allowed = (
-                robots_gate(cand, self.robots, url="urir", host="host").drop(
-                    "crawl_delay"
-                )
+                robots_gate(cand, self.robots, url="urir", host="host")
                 if self.robots is not None
                 else cand
             )
@@ -472,6 +473,8 @@ class CrawlEngine:
             # not selected stays in the delta log and re-surfaces from the
             # next round's merge-on-read scan
             selected, _deferred = self._politeness_select(allowed)
+            if "crawl_delay" in selected.columns:
+                selected = selected.drop("crawl_delay")
             selected = selected.persist()
             m.timings["schedule"] = time.time() - t
 

@@ -115,9 +115,20 @@ def stream_frontier_merge(
         # arriving in different micro-batches also collapse — the same
         # dedup key the seen table uses.
         try:
-            existing = spark.read.parquet(frontier_dir)
+            # mergeSchema: a frontier table written before the surt upgrade
+            # has files WITHOUT the column — a plain read could pick the old
+            # schema (surt absent) or return null surt for old files, and
+            # null keys never match an anti-join, re-appending pre-upgrade
+            # duplicates. Merge the schemas and backfill legacy rows.
+            existing = spark.read.option("mergeSchema", True).parquet(
+                frontier_dir
+            )
             ex_surt = (
-                existing.select(F.col("surt"))
+                existing.select(
+                    F.coalesce(
+                        F.col("surt"), surt_key(F.col("urim"))
+                    ).alias("surt")
+                )
                 if "surt" in existing.columns
                 else existing.select(surt_key(F.col("urim")).alias("surt"))
             )

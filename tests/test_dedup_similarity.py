@@ -58,9 +58,10 @@ def test_ngram_jaccard_pairs(spark, docs):
     # bands must match the verify threshold: the LSH s-curve midpoint is
     # ~(1/bands)^(bands/num_perm), so at threshold 0.5 use 16 perms / 8
     # bands (r=2, midpoint ≈ 0.35; J=0.78 pair caught w.p. ≈ 0.999 —
-    # deterministic here, the hash family is fixed). The library default
-    # (bands=4, r=4, midpoint ≈ 0.7) targets the 0.8 default threshold
-    # and deterministically misses a 0.78 pair with this family.
+    # deterministic here, the hash family is fixed). Since round 4 the
+    # default bands=None DERIVES the banding from the threshold
+    # (recall ≥ 0.95 at the threshold); bands=8 stays pinned here so the
+    # expected pair set is stable under the fixed hash family.
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=2, bands=8)
     got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got[(0, 1)] == 1.0
@@ -170,7 +171,9 @@ def test_lsh_degenerate_bucket_cap(spark):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         capped = minhash_lsh_candidates(
-            df, text="text", key="doc_id", max_bucket=10
+            # log_dropped is opt-in since round 4: the accounting costs an
+            # extra job, so the default cap path is one job
+            df, text="text", key="doc_id", max_bucket=10, log_dropped=True
         ).count()
         assert any("degenerate bucket" in str(x.message) for x in w)
     assert capped < 40  # the quadratic bucket's pairs are gone

@@ -1,0 +1,254 @@
+"""Round-4 fixes: crawl-delay round cap, bands-from-threshold derivation,
+error-store read semantics, WARC atomic rename, legacy-frontier ingest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hypercane_spark.streaming.frontier import CrawlConfig, CrawlEngine
+
+
+# ------------------------------------------------ crawl-delay round cap
+
+
+@pytest.fixture()
+def delay_web(spark):
+    rows = []
+    for i in range(10):
+        rows.append(
+            (
+                f"http://arch.example/web/2020/http://slow.example/p{i}",
+                f"http://slow.example/p{i}",
+                "slow.example",
+                0.5,
+                None,
+            )
+        )
+        rows.append(
+            (
+                f"http://arch.example/web/2020/http://fast.example/p{i}",
+                f"http://fast.example/p{i}",
+                "fast.example",
+                0.5,
+                None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "urim string, urir string, host string, priority double, _x string",
+    ).select(
+        "urim",
+        "urir",
+        "host",
+        F.lit(None).cast("timestamp").alias("memento_datetime"),
+        F.lit(0.0).alias("damage"),
+        "priority",
+        F.lit(None).cast("string").alias("image_id"),
+        F.array().cast("array<string>").alias("outlinks"),
+    )
+
+
+def test_crawl_delay_caps_per_host_budget(spark, delay_web):
+    """A host whose robots crawl_delay implies fewer fetches than the
+    budget gets min(budget, max(1, floor(round_seconds / delay))) fetches
+    per round — the cap must actually reach _politeness_select (it was a
+    silent no-op when the engine dropped crawl_delay right after
+    robots_gate)."""
+    robots = spark.createDataFrame(
+        [
+            ("slow.example", [], 10.0),  # 30s round / 10s delay → 3 fetches
+            ("fast.example", [], 0.0),
+        ],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    cfg = CrawlConfig(
+        per_host_budget=5, max_depth=1, max_rounds=1, round_seconds=30.0
+    )
+    eng = CrawlEngine(spark, delay_web, robots=robots, config=cfg)
+    seeds = delay_web.select("urim")
+    fetched = eng.run(seeds)
+    per_host = {
+        r["host"]: r["n"]
+        for r in fetched.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host["slow.example"] == 3  # min(5, floor(30/10))
+    assert per_host["fast.example"] == 5  # full budget
+    assert "crawl_delay" not in fetched.columns
+
+
+def test_crawl_delay_floor_guarantees_progress(spark, delay_web):
+    """delay larger than the whole round still fetches 1 per host/round."""
+    robots = spark.createDataFrame(
+        [("slow.example", [], 120.0), ("fast.example", [], 0.0)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    cfg = CrawlConfig(
+        per_host_budget=5, max_depth=1, max_rounds=1, round_seconds=30.0
+    )
+    eng = CrawlEngine(spark, delay_web, robots=robots, config=cfg)
+    fetched = eng.run(delay_web.select("urim"))
+    per_host = {
+        r["host"]: r["n"]
+        for r in fetched.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host["slow.example"] == 1  # max(1, floor(30/120))
+
+
+# ------------------------------------------- bands-from-threshold derivation
+
+
+def test_bands_for_threshold_derivation():
+    from hypercane_spark.operators.dedup import _bands_for_threshold
+
+    # t=0.8, 16 perms: (b=8, r=2) recall 1-(1-0.64)^8 ≈ 0.9997 — first
+    # divisor (largest r) reaching 0.95
+    assert _bands_for_threshold(0.8, 16) == 8
+    # t=0.5: even r=2 gives 0.90 < 0.95 → fall to r=1 (b=16)
+    assert _bands_for_threshold(0.5, 16) == 16
+    # high threshold keeps selective buckets
+    assert _bands_for_threshold(0.95, 16) == 4
+    # recall at the returned banding really is ≥ 0.95
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        b = _bands_for_threshold(t, 16)
+        r = 16 // b
+        assert 1.0 - (1.0 - t**r) ** b >= 0.95
+
+
+def test_ngram_default_bands_catch_near_threshold_pair(spark):
+    """The fixed 4-band default deterministically missed a J≈0.78 pair at
+    thresholds it should pass; the derived banding must find it."""
+    from hypercane_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy cat"),  # J≈0.78 @ n=2
+        (4, "completely different text about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, threshold=0.7, shingle_n=2)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (0, 3) in got
+    assert got[(0, 3)] >= 0.7
+
+
+# ---------------------------------------------------- error-store read
+
+
+def test_error_store_missing_path_reads_empty(spark, tmp_path):
+    from hypercane_spark.errors import ErrorStore
+
+    store = ErrorStore(str(tmp_path / "does-not-exist"))
+    assert store.read(spark).count() == 0
+
+
+def test_error_store_corrupt_store_propagates(spark, tmp_path):
+    """A corrupt store must RAISE, not silently read as empty — otherwise
+    exclude() stops filtering previously-failed URIs."""
+    from hypercane_spark.errors import ErrorStore
+
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet at all")
+    store = ErrorStore(str(bad))
+    with pytest.raises(Exception):
+        store.read(spark).collect()
+
+
+# ---------------------------------------------------- WARC atomic rename
+
+
+def test_write_warcs_atomic_no_tmp_left(spark, tmp_path):
+    from hypercane_spark.sources.sinks import write_warcs
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/", "http://arch/1", b"<html>one</html>"),
+            ("http://a.example/", "http://arch/2", b"<html>two</html>"),
+            ("http://b.example/", "http://arch/3", b"<html>three</html>"),
+        ],
+        "urir string, urim string, bytes binary",
+    )
+    out = str(tmp_path / "warcs")
+    write_warcs(df, out, mdt=None)
+    names = sorted(os.listdir(out))
+    assert all(n.endswith(".warc.gz") for n in names), names
+    assert len(names) == 2  # one per seed
+    # a stale tmp from a dead attempt is never promoted and never breaks
+    # skip-if-exists
+    stale = os.path.join(out, ".deadbeef.stale.tmp")
+    with open(stale, "wb") as fh:
+        fh.write(b"partial garbage")
+    write_warcs(df, out, mdt=None)  # resume: all finals exist → no-op
+    assert os.path.exists(stale)  # untouched, never renamed to .warc.gz
+    assert sorted(n for n in os.listdir(out) if n.endswith(".warc.gz")) == names
+
+
+# ------------------------------------- legacy frontier (no surt) ingest
+
+
+def test_stream_frontier_merge_legacy_table_dedups(spark, tmp_path):
+    """A frontier table written BEFORE the surt column existed must keep
+    deduplicating after the upgrade: mergeSchema + coalesce backfills the
+    key for legacy files so the anti-join still matches."""
+    from hypercane_spark.streaming.ingest import stream_frontier_merge
+
+    frontier_dir = str(tmp_path / "frontier")
+    # legacy table: no surt column
+    spark.createDataFrame(
+        [
+            (
+                "http://arch.example/old/http://h1.example/a",
+                "http://h1.example/a",
+                "h1.example",
+                0.9,
+                None,
+            )
+        ],
+        "urim string, urir string, host string, priority double, "
+        "discovered_from string",
+    ).write.parquet(frontier_dir)
+
+    drop_dir = str(tmp_path / "drop")
+    os.makedirs(drop_dir)
+    spark.createDataFrame(
+        [
+            (  # duplicate of the legacy row (same urim → same surt)
+                "http://arch.example/old/http://h1.example/a",
+                "http://h1.example/a",
+                "h1.example",
+                0.9,
+                None,
+            ),
+            (  # genuinely new
+                "http://arch.example/old/http://h2.example/b",
+                "http://h2.example/b",
+                "h2.example",
+                0.5,
+                None,
+            ),
+        ],
+        "urim string, urir string, host string, priority double, "
+        "discovered_from string",
+    ).withColumn("event_time", F.current_timestamp()).write.mode(
+        "append"
+    ).parquet(drop_dir)
+
+    from hypercane_spark.streaming.ingest import stream_discovered_urls
+
+    q = stream_frontier_merge(
+        stream_discovered_urls(spark, drop_dir),
+        frontier_dir,
+        seen_dir=None,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    merged = spark.read.option("mergeSchema", True).parquet(frontier_dir)
+    urims = [r["urim"] for r in merged.select("urim").collect()]
+    # the legacy duplicate was NOT re-appended; the new row was
+    assert sorted(urims) == [
+        "http://arch.example/old/http://h1.example/a",
+        "http://arch.example/old/http://h2.example/b",
+    ]
