@@ -226,6 +226,13 @@ def run_crawl(spark) -> dict:
                 os.environ.get("SPARK_GRAFT_PSNR_SAMPLE", "1")
             ),
             collect_metrics=False,
+            # SPARK_GRAFT_BLOOM_SHARDS=0 → legacy monolithic seen-filter
+            # (A/B lever); unset → the engine's sharded default
+            **(
+                {"bloom_shards": int(os.environ["SPARK_GRAFT_BLOOM_SHARDS"])}
+                if os.environ.get("SPARK_GRAFT_BLOOM_SHARDS")
+                else {}
+            ),
         ),
     )
     t0 = time.time()

@@ -5,12 +5,14 @@ Replaces the reference's O(n) list-membership dedup
 in storage`` over a Python list) with scale-free structures:
 
 - **Bloom**: k bit positions per key are computed *JVM-side*
-  (xxhash64(surt ':' i) % bits — pure column expressions), per-partition
-  numpy bit arrays are OR-reduced, and membership tests run as one
-  vectorized Arrow batch against the broadcast filter. Sharding by key
-  hash keeps any single array bounded: at the 10^10-URL design scale a
-  10-bits/key filter is ~12.5 GB — sharded 64 ways it's ~200 MB per
-  executor, each shard owned by the partition that hashes to it.
+  (xxhash64(surt ':' i) % bits — pure column expressions). Two builds:
+  the design-scale **ShardedBloom** (shard = pmod(xxhash64(surt), S); the
+  filter is a distributed (shard, bits) table, built/merged/tested by the
+  tasks owning each shard — at 10^10 URLs a 10-bits/key filter is
+  ~12.5 GB, sharded 64 ways each task holds ~200 MB, and the driver never
+  holds a bitmap), and the small-scale monolithic ``build_bloom`` (one
+  driver array + broadcast — kept for tests and small crawls; its
+  broadcast handles must be destroyed by the caller each round).
 - **Cuckoo**: bucketed 16-bit fingerprints with 2-choice + eviction;
   supports deletion (bloom cannot), used for the in-flight frontier
   window where URLs leave the set after fetch.
@@ -99,15 +101,24 @@ def bloom_might_contain(
     num_bits: int,
     num_hashes: int,
     out: str = "__in_bloom",
+    broadcast_registry: "list | None" = None,
 ) -> DataFrame:
     """Add a boolean column: True when the key *might* be in the filter.
 
     Positions computed JVM-side; the broadcast bit-array test is one
-    vectorized numpy gather per Arrow batch."""
+    vectorized numpy gather per Arrow batch.
+
+    Each call ships ONE fresh broadcast of the whole filter — callers in a
+    loop must pass ``broadcast_registry`` (the handle is appended) and
+    destroy stale handles once the returned plan has been evaluated, or
+    broadcasts accumulate for the life of the app (CrawlEngine does this
+    per round; the ShardedBloom path has no broadcast at all)."""
     key_col = F.col(key) if isinstance(key, str) else key
     work = df.withColumn("__pos", bloom_positions(key_col, num_bits, num_hashes))
     spark = df.sparkSession
     b_bloom = spark.sparkContext.broadcast(np.frombuffer(bloom, dtype=np.uint8))
+    if broadcast_registry is not None:
+        broadcast_registry.append(b_bloom)
 
     from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -122,6 +133,263 @@ def bloom_might_contain(
             yield pdf
 
     return work.mapInPandas(check, schema=schema).drop("__pos")
+
+
+# ----------------------------------------------------------- sharded bloom
+#
+# The design-scale shape the module header promises (and the monolithic
+# build_bloom above cannot deliver): at 10^10 URLs a 10-bits/key filter is
+# ~12.5 GB — too big for one driver array, far too big to re-broadcast
+# every round. Sharded, the filter is a DISTRIBUTED table
+# ``(shard int, bits binary)`` with ``num_shards`` rows:
+#
+# - shard ownership:  shard = pmod(xxhash64(surt), S) — computed JVM-side
+# - build:            groupBy(shard).applyInPandas — each shard's bitmap is
+#                     scattered by the one task that owns the shard and
+#                     written as parquet; the DRIVER NEVER HOLDS A BITMAP
+# - incremental OR:   APPEND-ONLY — each update writes only the new keys'
+#                     per-shard delta bitmaps (one O(new keys) job); the
+#                     logical filter is the OR over all delta files, folded
+#                     lazily inside the membership check. Periodic
+#                     compaction (every ``compact_after`` deltas) rewrites
+#                     one full snapshot and prunes the deltas — the same
+#                     merge-on-read + compact design as the frontier log.
+# - membership:       candidates cogrouped with the filter table on shard;
+#                     each task ORs/gathers ONLY the shard bitmaps it owns
+#                     (memory per task = shards/task × shard bytes ×
+#                     ≤compact_after deltas, never total bits), vectorized
+#                     numpy per group
+#
+# No broadcast exists anywhere on this path, so there is nothing to leak
+# or re-ship per round. False-negative-freedom is per-shard (same bloom
+# property), so the exact anti-join backstop contract is unchanged.
+
+
+def shard_of(key: Column, num_shards: int) -> Column:
+    """Shard ownership: pmod(xxhash64(key), S) — pure Catalyst."""
+    return F.pmod(F.xxhash64(key), F.lit(num_shards)).cast("int")
+
+
+def _shard_positions(key: Column, bits_per_shard: int, num_hashes: int) -> Column:
+    """Within-shard bit positions (independent hash family from shard_of:
+    position hashes fold in a per-index salt, the shard hash does not)."""
+    return bloom_positions(key, bits_per_shard, num_hashes)
+
+
+class ShardedBloom:
+    """Handle for a sharded bloom filter: the geometry + the distributed
+    ``(shard, bits)`` table.
+
+    The state is an APPEND-ONLY parquet delta log under ``root``
+    (``v000000`` snapshot + ``d000001``… deltas): each or_update writes
+    only the new keys' shard bitmaps, the logical filter is the OR over
+    all files (folded inside the membership check), and every
+    ``compact_after`` deltas the log is rewritten as one snapshot.
+    Lineage is a constant-depth multi-path file scan whatever the round
+    count, and nothing lives in driver memory, executor cache, or a
+    broadcast. (A localCheckpoint would also truncate lineage, but its
+    persisted RDDs bypass the CacheManager — ``DataFrame.unpersist``
+    can't free them, so stale copies accumulate across rounds; files are
+    trivially deletable. On a real cluster ``root`` must be shared
+    storage — the Iceberg analog is an append table with periodic
+    rewrite_data_files.)"""
+
+    def __init__(
+        self,
+        table: DataFrame,
+        num_shards: int,
+        bits_per_shard: int,
+        num_hashes: int,
+        root: str,
+        paths: "list[str]",
+        version: int = 0,
+        compact_after: int = 8,
+    ):
+        self.table = table
+        self.num_shards = num_shards
+        self.bits_per_shard = bits_per_shard
+        self.num_hashes = num_hashes
+        self.root = root
+        self.paths = paths
+        self.version = version
+        self.compact_after = compact_after
+
+    def unpersist(self) -> None:
+        """Delete the filter's files entirely (end-of-crawl cleanup)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+def _version_path(root: str, version: int, kind: str = "v") -> str:
+    import os
+
+    return os.path.join(root, f"{kind}{version:06d}")
+
+
+def _build_shard_table(
+    df: DataFrame, key: str | Column, num_shards: int,
+    bits_per_shard: int, num_hashes: int,
+) -> DataFrame:
+    """(shard, bits) rows for the keys present in df — at most one row per
+    shard, built by the task owning the shard (groupBy shuffle on shard)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    pos_df = df.select(
+        shard_of(key_col, num_shards).alias("shard"),
+        _shard_positions(key_col, bits_per_shard, num_hashes).alias("p"),
+    )
+    nbytes = (bits_per_shard + 7) // 8
+
+    def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(nbytes, dtype=np.uint8)
+        pos = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["p"]])
+        np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bits": [arr.tobytes()]}
+        )
+
+    return pos_df.groupBy("shard").applyInPandas(
+        scatter, schema="shard int, bits binary"
+    )
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    key: str | Column,
+    num_shards: int = 64,
+    bits_per_shard: int = 1 << 16,
+    num_hashes: int = 5,
+    root: str | None = None,
+    compact_after: int = 8,
+) -> ShardedBloom:
+    """Build a sharded bloom filter over a key column, materialized as ≤S
+    small parquet rows under ``root`` (a fresh temp dir when omitted —
+    pass a shared-storage path on a real cluster). Constant-depth lineage,
+    nothing on the driver."""
+    if root is None:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="sharded_bloom_")
+    else:
+        import shutil
+
+        # the dir is dedicated to this filter: clear stale versions left
+        # by a previous run before (re)building v0
+        shutil.rmtree(root, ignore_errors=True)
+    path = _version_path(root, 0)
+    _build_shard_table(df, key, num_shards, bits_per_shard, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(path)
+    table = df.sparkSession.read.parquet(path)
+    return ShardedBloom(
+        table, num_shards, bits_per_shard, num_hashes, root, [path], 0,
+        compact_after,
+    )
+
+
+def sharded_bloom_or_update(
+    sb: ShardedBloom, new_keys: DataFrame, key: str | Column
+) -> ShardedBloom:
+    """OR the new keys into the filter — the per-round incremental path.
+
+    APPEND-ONLY: one O(new keys) job writes the new keys' per-shard delta
+    bitmaps; no read-merge-rewrite of the existing filter happens on the
+    hot path (the membership check ORs the ≤compact_after delta rows per
+    shard lazily). Every ``compact_after`` deltas the log is folded into
+    one snapshot and the subsumed files deleted, so storage stays bounded
+    at snapshot + compact_after deltas — the same merge-on-read + compact
+    shape as the frontier log, and the replacement for the monolithic
+    path's per-round full-filter broadcast (the 10^10-scale leak)."""
+    import shutil
+
+    spark = new_keys.sparkSession
+    nxt = sb.version + 1
+    dpath = _version_path(sb.root, nxt, kind="d")
+    _build_shard_table(
+        new_keys, key, sb.num_shards, sb.bits_per_shard, sb.num_hashes
+    ).write.mode("overwrite").parquet(dpath)
+    paths = [*sb.paths, dpath]
+
+    if len(paths) > sb.compact_after:
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+            for b in pdf["bits"].iloc[1:]:
+                arr |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "bits": [arr.tobytes()]}
+            )
+
+        vpath = _version_path(sb.root, nxt)
+        (
+            spark.read.parquet(*paths)
+            .groupBy("shard")
+            .applyInPandas(merge, schema="shard int, bits binary")
+            .write.mode("overwrite")
+            .parquet(vpath)
+        )
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        paths = [vpath]
+
+    table = spark.read.parquet(*paths)
+    return ShardedBloom(
+        table, sb.num_shards, sb.bits_per_shard, sb.num_hashes, sb.root,
+        paths, nxt, sb.compact_after,
+    )
+
+
+def sharded_bloom_might_contain(
+    df: DataFrame,
+    key: str | Column,
+    sb: ShardedBloom,
+    out: str = "__in_bloom",
+) -> DataFrame:
+    """Membership prefilter against the distributed filter table.
+
+    Candidates and filter rows are COGROUPED on shard: each task receives
+    (its candidate rows, its ≤1+compact_after bitmap rows) per shard —
+    delta rows are OR-folded in place, per-task memory is bounded by shard
+    bytes × shards-per-task × log depth, never by total filter bits, and
+    no bitmap ever transits the driver or a broadcast. The bit test is one
+    vectorized numpy gather per group. A shard with no bitmap row holds no
+    keys → all its candidates are sure-new (False)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    work = df.withColumn("__shard", shard_of(key_col, sb.num_shards)).withColumn(
+        "__pos", _shard_positions(key_col, sb.bits_per_shard, sb.num_hashes)
+    )
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_fields = [
+        f for f in work.schema.fields if f.name not in ("__shard", "__pos")
+    ]
+    schema = StructType(out_fields + [StructField(out, BooleanType())])
+    keep = [f.name for f in out_fields]
+
+    def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(columns=[*keep, out])
+        if not len(right):
+            res = left[keep].copy()
+            res[out] = False
+            return res
+        arr = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+        if len(right) > 1:  # OR the shard's delta bitmaps in place
+            arr = arr.copy()
+            for b in right["bits"].iloc[1:]:
+                arr |= np.frombuffer(b, dtype=np.uint8)
+        pos = np.stack(left["__pos"].to_numpy())  # (n, k)
+        bits = (arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        res = left[keep].copy()
+        res[out] = bits.all(axis=1)
+        return res
+
+    return (
+        work.groupBy("__shard")
+        .cogroup(sb.table.groupBy("shard"))
+        .applyInPandas(check, schema=schema)
+    )
 
 
 # ------------------------------------------------------------ cuckoo filter

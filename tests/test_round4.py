@@ -252,3 +252,198 @@ def test_stream_frontier_merge_legacy_table_dedups(spark, tmp_path):
         "http://arch.example/old/http://h1.example/a",
         "http://arch.example/old/http://h2.example/b",
     ]
+
+
+# ---------------------------------------------------- sharded seen-filter
+
+
+def _fresh_keys(spark, n, prefix="http://fresh.example/"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("k")
+    )
+
+
+def test_sharded_bloom_no_false_negatives_and_low_fp(spark):
+    from hypercane_spark.streaming.bloom import (
+        build_sharded_bloom,
+        sharded_bloom_might_contain,
+    )
+
+    keys = _fresh_keys(spark, 300, "http://h.example/p")
+    sb = build_sharded_bloom(keys, "k", num_shards=8, bits_per_shard=1 << 13)
+    assert (
+        sharded_bloom_might_contain(keys, "k", sb)
+        .where(~F.col("__in_bloom"))
+        .count()
+        == 0
+    )
+    fp = (
+        sharded_bloom_might_contain(_fresh_keys(spark, 2000), "k", sb)
+        .where(F.col("__in_bloom"))
+        .count()
+    )
+    assert fp < 100
+    sb.unpersist()
+
+
+def test_sharded_bloom_memory_is_bounded_by_shard_size(spark):
+    """The design-scale contract: the filter is a distributed (shard, bits)
+    table — every row is exactly bits_per_shard/8 bytes, there are at most
+    num_shards rows, and no bitmap of total-filter size exists anywhere
+    (membership is cogrouped per shard, so a task holds only the bitmaps
+    of the shards it owns)."""
+    from hypercane_spark.streaming.bloom import build_sharded_bloom
+
+    sb = build_sharded_bloom(
+        _fresh_keys(spark, 500, "http://m.example/p"),
+        "k",
+        num_shards=16,
+        bits_per_shard=1 << 12,
+    )
+    rows = sb.table.collect()
+    assert 0 < len(rows) <= 16
+    assert {len(r["bits"]) for r in rows} == {(1 << 12) // 8}
+    sb.unpersist()
+
+
+def test_sharded_bloom_or_update_no_storage_accumulation(spark):
+    """or_update is an append-only delta log with compaction: storage is
+    bounded at snapshot + compact_after deltas however many rounds OR into
+    the filter (the monolithic path's per-round broadcast churn was the
+    leak), no RDD is ever cached, and every round's keys stay present."""
+    from hypercane_spark.streaming.bloom import (
+        build_sharded_bloom,
+        sharded_bloom_might_contain,
+        sharded_bloom_or_update,
+    )
+
+    sb = build_sharded_bloom(
+        _fresh_keys(spark, 100, "http://u.example/a"),
+        "k",
+        num_shards=8,
+        bits_per_shard=1 << 12,
+        compact_after=4,
+    )
+    base_rdds = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for i in range(10):
+        sb = sharded_bloom_or_update(
+            sb, _fresh_keys(spark, 100, f"http://u.example/r{i}-"), "k"
+        )
+        assert len(sb.paths) <= 5  # snapshot + ≤ compact_after deltas
+        assert len(os.listdir(sb.root)) == len(sb.paths)  # stale files gone
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base_rdds
+    # all ten rounds' keys are still present (OR really accumulated
+    # through appends AND through the compaction folds)
+    for i in range(10):
+        keys = _fresh_keys(spark, 100, f"http://u.example/r{i}-")
+        assert (
+            sharded_bloom_might_contain(keys, "k", sb)
+            .where(~F.col("__in_bloom"))
+            .count()
+            == 0
+        )
+    sb.unpersist()
+    assert not os.path.exists(sb.root)
+
+
+def test_crawl_monolith_bloom_still_matches_oracle(spark):
+    """bloom_shards=0 keeps the legacy driver-array path working (and the
+    engine now destroys its per-round broadcasts)."""
+    from hypercane_spark.oracle.crawl import crawl_oracle
+    from hypercane_spark.synth import gen_link_graph, gen_robots
+
+    web_rows = gen_link_graph(n_urls=150)
+    schema = (
+        "urim string, urir string, host string, memento_datetime timestamp, "
+        "damage double, priority double, image_id string, "
+        "outlinks array<string>"
+    )
+    cols = [c.split()[0] for c in schema.split(", ")]
+    web = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in web_rows], schema
+    )
+    robots_rows = gen_robots()
+    robots = spark.createDataFrame(
+        [(r["host"], r["disallow"], r["crawl_delay"]) for r in robots_rows],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    seeds = sorted(r["urim"] for r in web_rows)[::10]
+    cfg = CrawlConfig(
+        per_host_budget=3, max_depth=2, max_rounds=8, bloom_shards=0
+    )
+    eng = CrawlEngine(spark, web, robots=robots, config=cfg)
+    fetched = eng.run(
+        spark.createDataFrame([(u,) for u in seeds], "urim string")
+    )
+    got = eng.pop_order(fetched)
+    want, _ = crawl_oracle(
+        web_rows, seeds, robots=robots_rows,
+        per_host_budget=3, max_depth=2, max_rounds=8,
+    )
+    assert got == want
+    assert eng._stale_broadcasts == []  # cleaned up every round
+
+
+def test_crawl_sharded_bloom_matches_oracle_and_cleans_up(spark, tmp_path):
+    """Explicit sharded seen-filter through the whole engine: crawl order
+    exact vs the sequential oracle, filter files live under the checkpoint
+    and stay bounded (snapshot + deltas), no broadcasts created."""
+    from hypercane_spark.oracle.crawl import crawl_oracle
+    from hypercane_spark.synth import gen_link_graph, gen_robots
+
+    web_rows = gen_link_graph(n_urls=150)
+    schema = (
+        "urim string, urir string, host string, memento_datetime timestamp, "
+        "damage double, priority double, image_id string, "
+        "outlinks array<string>"
+    )
+    cols = [c.split()[0] for c in schema.split(", ")]
+    web = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in web_rows], schema
+    )
+    robots_rows = gen_robots()
+    robots = spark.createDataFrame(
+        [(r["host"], r["disallow"], r["crawl_delay"]) for r in robots_rows],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    seeds = sorted(r["urim"] for r in web_rows)[::10]
+    cfg = CrawlConfig(
+        per_host_budget=3, max_depth=2, max_rounds=8, bloom_shards=8
+    )
+    eng = CrawlEngine(
+        spark, web, robots=robots,
+        checkpoint_dir=str(tmp_path / "ck"), config=cfg,
+    )
+    fetched = eng.run(
+        spark.createDataFrame([(u,) for u in seeds], "urim string")
+    )
+    got = eng.pop_order(fetched)
+    want, _ = crawl_oracle(
+        web_rows, seeds, robots=robots_rows,
+        per_host_budget=3, max_depth=2, max_rounds=8,
+    )
+    assert got == want
+    assert eng._sharded is not None
+    assert eng._sharded.root.startswith(str(tmp_path / "ck"))
+    # bounded delta log on disk
+    assert len(os.listdir(eng._sharded.root)) <= eng._sharded.compact_after + 1
+    assert eng._stale_broadcasts == []  # sharded path never broadcasts
+
+
+def test_crawl_config_auto_selects_filter_shape():
+    """bloom_shards=None auto-select: monolith below the 2^24-bit boundary,
+    sharded at/above it; explicit values always win."""
+    from hypercane_spark.streaming.frontier import SHARD_AUTO_MIN_BITS
+
+    class _Eng:
+        _shards = CrawlEngine._shards
+
+    e = _Eng()
+    e.cfg = CrawlConfig()  # default bits 2^20 < 2^24 → monolith
+    assert e._shards() == 0
+    e.cfg = CrawlConfig(bloom_bits=SHARD_AUTO_MIN_BITS)
+    assert e._shards() == 64
+    e.cfg = CrawlConfig(bloom_shards=8)
+    assert e._shards() == 8
+    e.cfg = CrawlConfig(bloom_bits=SHARD_AUTO_MIN_BITS, bloom_shards=0)
+    assert e._shards() == 0
