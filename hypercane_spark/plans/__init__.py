@@ -1,4 +1,6 @@
-"""Pipeline DSL + packaged sampling algorithms (DSA1-4, filtered-random).
+"""Pipeline DSL + packaged sampling algorithms (DSA1-4,
+filtered-random, ordered-systematic, simple-search-engine — the
+reference's full 7-algorithm surface).
 
 The reference packages multi-stage algorithms as bash `.halg` scripts that
 run one `hc` subprocess per stage with TSV intermediates and skip-if-output-
@@ -16,6 +18,8 @@ from hypercane_spark.plans.dsa import (
     dsa3,
     dsa4,
     filtered_random,
+    ordered_systematic,
+    simple_search_engine,
 )
 
 __all__ = [
@@ -26,4 +30,6 @@ __all__ = [
     "dsa3",
     "dsa4",
     "filtered_random",
+    "ordered_systematic",
+    "simple_search_engine",
 ]

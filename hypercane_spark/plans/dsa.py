@@ -184,3 +184,79 @@ def filtered_random(k: int = 28, seed: int = 42) -> Pipeline:
         ("true-random", lambda df: true_random(df, k, seed=seed)),
     ]
     return Pipeline("filtered-random", stages)
+
+
+@register("ordered-systematic")
+def ordered_systematic(j: int = 5) -> Pipeline:
+    """ordered-systematic.halg (order-by-memento-datetime-then-
+    systematically-sample, /root/reference/hypercane/packaged_algorithms/
+    ordered-systematic.halg:44-58): ``hc order memento-datetime`` then
+    ``hc sample systematic -j`` over the ordered list.
+
+    The ordering stage assigns the 1-based ``rank`` (newest-first with the
+    reference's descending-urim tie quirk, order/memento_datetime.py:32);
+    the systematic stage walks that rank as its sequence, keeping positions
+    j, 2j, … — exactly the reference's every-jth-line-of-the-ordered-TSV
+    semantics. Surviving rows keep their original rank column (multiples
+    of j), which is what the ordered TSV's line numbers were."""
+    from hypercane_spark.operators.order import by_memento_datetime
+    from hypercane_spark.operators.sample import systematic
+
+    stages = [
+        ("order-memento-datetime", lambda df: by_memento_datetime(df)),
+        ("systematic", lambda df: systematic(df, j, seq="rank")),
+    ]
+    return Pipeline("ordered-systematic", stages)
+
+
+@register("simple-search-engine")
+def simple_search_engine(
+    term: str,
+    text: str = "bpfree_text",
+    k: int | None = None,
+    score_decimals: int | None = None,
+) -> Pipeline:
+    """simple-search-engine.halg (/root/reference/hypercane/
+    packaged_algorithms/simple-search-engine.halg:40-70): include-only
+    mementos containing the term → BM25-score the remainder with the term
+    as the query (corpus statistics over the FILTERED set, as the
+    reference's second ``hc score bm25`` run over the filtered TSV
+    implies) → order by descending score. (The .halg's first stage
+    invokes ``hc order memento-datetime --pattern`` — a copy-paste slip;
+    its comment and the algorithm description say filter-by-pattern,
+    which is what this builds.)
+
+    ``term`` may be multi-word (whitespace-tokenized into BM25 query
+    terms). The containing filter is a substring search — ``(?s).*term``
+    under the reference's anchored-match semantics. ``k`` adds a final
+    top-k stage (TakeOrderedAndProject). ``score_decimals`` rounds the
+    BM25 score before the ordering stage: near-equal doubles otherwise
+    make the final rank sensitive to float summation order — the
+    determinism knob the oracle harness uses."""
+    import re as _re
+
+    from hypercane_spark.operators.filters import containing_pattern
+    from hypercane_spark.operators.order import by_score, top_k
+    from hypercane_spark.operators.score import bm25_score
+
+    pattern = "(?s).*" + _re.escape(term.split()[0])
+    stages = [
+        (
+            "include-containing-pattern",
+            lambda df: containing_pattern(df, pattern, text=text),
+        ),
+        ("bm25", lambda df: bm25_score(df, term.split(), text=text)),
+    ]
+    if score_decimals is not None:
+        stages.append(
+            (
+                "round-score",
+                lambda df: df.withColumn(
+                    "bm25_score", F.round(F.col("bm25_score"), score_decimals)
+                ),
+            )
+        )
+    stages.append(("order-score-desc", lambda df: by_score(df, "bm25_score")))
+    if k is not None:
+        stages.append(("top-k", lambda df: top_k(df, k, "bm25_score")))
+    return Pipeline("simple-search-engine", stages)

@@ -447,3 +447,64 @@ def test_crawl_config_auto_selects_filter_shape():
     assert e._shards() == 8
     e.cfg = CrawlConfig(bloom_bits=SHARD_AUTO_MIN_BITS, bloom_shards=0)
     assert e._shards() == 0
+
+
+# --------------------------------------- new packaged pipelines (7/7)
+
+
+def test_ordered_systematic_pipeline(spark):
+    """order by mdt (desc quirk) then keep every jth rank — the surviving
+    ranks are multiples of j and map to the jth-newest mementos."""
+    from hypercane_spark.plans import ordered_systematic
+
+    rows = [
+        (f"http://a/m{i:02d}", f"2020-01-{i + 1:02d} 00:00:00") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "urim string, mdt string").select(
+        "urim", F.to_timestamp("mdt").alias("memento_datetime")
+    )
+    out = ordered_systematic(j=3).run(df).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [3, 6, 9]
+    # rank 1 = newest (m09); rank 3 = m07, rank 6 = m04, rank 9 = m01
+    assert [r["urim"] for r in out] == [
+        "http://a/m07",
+        "http://a/m04",
+        "http://a/m01",
+    ]
+
+
+def test_simple_search_engine_pipeline(spark):
+    """filter to docs containing the term, BM25 over the filtered corpus,
+    order by score desc: more term occurrences (equal length) → better
+    rank; non-matching docs are gone."""
+    from hypercane_spark.plans import simple_search_engine
+
+    rows = [
+        ("u1", "join join join pad pad pad"),
+        ("u2", "join pad pad pad pad pad"),
+        ("u3", "nothing about that here at all"),
+        ("u4", "join join pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "urim string, bpfree_text string")
+    out = simple_search_engine("join").run(df).orderBy("rank").collect()
+    assert [r["urim"] for r in out] == ["u1", "u4", "u2"]  # u3 filtered
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    scores = [r["bm25_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # top-k variant surfaces as TakeOrderedAndProject semantics
+    top = simple_search_engine("join", k=2).run(df).collect()
+    assert {r["urim"] for r in top} == {"u1", "u4"}
+
+
+def test_registry_surfaces_pipelines_in_pinned_window():
+    """The correctness driver pins the first 50 registry entries; all seven
+    packaged-algorithm pipelines must sit inside that window."""
+    from hypercane_spark.entry_queries import REGISTRY
+
+    first50 = list(REGISTRY.keys())[:50]
+    for name in [
+        "pipeline_dsa1", "pipeline_dsa2", "pipeline_dsa3", "pipeline_dsa4",
+        "pipeline_filtered_random", "pipeline_ordered_systematic",
+        "pipeline_simple_search_engine",
+    ]:
+        assert name in first50, name
