@@ -118,10 +118,17 @@ def embedding_near_dups(
     key: str = "vec_id",
     bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (key_a < key_b, cosine ≥ threshold) found
-    inside shared LSH buckets — O(rows·avg_bucket) not O(rows²)."""
-    dim = len(df.select(vec).first()[0])
+    inside shared LSH buckets — O(rows·avg_bucket) not O(rows²).
+
+    Pass ``dim`` (the embedding width) to keep the plan fully declarative:
+    plain ``array<float>`` schemas don't carry a length, so when omitted
+    the width is sniffed from one row — a driver ``.first()`` action
+    before the real job (harmless once, wasteful inside a loop)."""
+    if dim is None:
+        dim = len(df.select(vec).first()[0])
     planes = _hyperplanes(dim, bits, seed)
     work = df.select(
         F.col(key).alias("k"), F.col(vec).alias("v")
@@ -137,6 +144,27 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def fit_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Train IVF cell centers ONCE (pyspark.ml KMeans) and return them in
+    the ``centroids`` shape ``ivf_topk`` accepts — the train-once path for
+    repeated queries: fit here, then pass the result to every
+    ``ivf_topk(..., centroids=cents)`` call so no query refits."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    work = df.select(array_to_vector(F.col(vec)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(work)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
 
 
 def _sqdist(vec: Column, center: list[float]) -> Column:
@@ -173,9 +201,12 @@ def ivf_topk(
       the same cells), deterministic under any partitioning.
     - ``"ml"``: pyspark.ml KMeans(seed=42) trained cell centers — better
       cells for production; excluded from the SQL oracle because k-means||
-      init depends on data partitioning.
-    - an explicit ``[(cell_id, center_vec), …]`` list (e.g. from a prior
-      training job).
+      init depends on data partitioning. NOTE: "ml" fits INSIDE this call
+      — a one-shot convenience. For repeated queries train once with
+      ``fit_ivf_centroids`` and pass the result as ``centroids`` so no
+      query pays the fit.
+    - an explicit ``[(cell_id, center_vec), …]`` list (from
+      ``fit_ivf_centroids`` or any prior training job).
 
     Scale shape: assignment is a pure column expression (n_cells literal
     dot products per row — broadcast-as-literals like the LSH
@@ -190,14 +221,7 @@ def ivf_topk(
         )
         cents = [(int(r[key]), [float(x) for x in r[vec]]) for r in rows]
     elif centroids == "ml":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        work = df.select(array_to_vector(F.col(vec)).alias("features"))
-        model = KMeans(k=n_cells, seed=42, maxIter=20).fit(work)
-        cents = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
+        cents = fit_ivf_centroids(df, n_cells=n_cells, vec=vec)
     else:
         cents = [(int(i), [float(x) for x in c]) for i, c in centroids]
 

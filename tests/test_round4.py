@@ -508,3 +508,55 @@ def test_registry_surfaces_pipelines_in_pinned_window():
         "pipeline_simple_search_engine",
     ]:
         assert name in first50, name
+
+
+# ------------------------------------------- similarity driver-action fixes
+
+
+def test_embedding_near_dups_dim_param_matches_sniff(spark):
+    import numpy as np
+
+    from hypercane_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16)
+    base[1] = base[0] + 0.01 * rng.randn(16)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sniffed = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in SIM.embedding_near_dups(df, threshold=0.95, bits=6).collect()
+    }
+    explicit = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in SIM.embedding_near_dups(
+            df, threshold=0.95, bits=6, dim=16
+        ).collect()
+    }
+    assert sniffed == explicit == {(0, 1)}
+
+
+def test_fit_ivf_centroids_train_once(spark):
+    """fit_ivf_centroids + explicit centers == the one-shot 'ml' engine, so
+    repeated queries never pay a per-call KMeans fit."""
+    import numpy as np
+
+    from hypercane_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    cents = fit_ivf_centroids(df, n_cells=4)
+    assert len(cents) == 4 and all(len(c) == 8 for _, c in cents)
+    once = [r["vec_id"] for r in ivf_topk(
+        df, q, k=5, n_cells=4, n_probe=2, centroids=cents).collect()]
+    ml = [r["vec_id"] for r in ivf_topk(
+        df, q, k=5, n_cells=4, n_probe=2, centroids="ml").collect()]
+    assert once == ml
+    assert once[0] == 5  # the query vector itself is its own nearest
