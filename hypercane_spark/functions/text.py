@@ -110,6 +110,27 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "nl": ("de", "en", "van", "het", "een", "in", "is", "dat", "op", "te",
            "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "maar",
            "als"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "har", "de", "om", "ett", "men",
+           "var", "jag"),
+    "da": ("og", "i", "at", "det", "er", "en", "den", "til", "af", "som",
+           "på", "de", "med", "han", "for", "ikke", "der", "var", "et",
+           "men"),
+    "pl": ("nie", "to", "się", "w", "na", "i", "z", "co", "jest", "że",
+           "do", "tak", "jak", "ale", "po", "za", "od", "dla", "tym",
+           "być"),
+    "tr": ("bir", "ve", "bu", "ne", "için", "de", "da", "çok", "ben",
+           "mi", "sen", "o", "var", "ama", "gibi", "daha", "kadar", "ki",
+           "her", "sonra"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari",
+           "dalam", "tidak", "akan", "pada", "juga", "saya", "ke", "bisa",
+           "ada", "mereka", "kita", "sudah"),
+    "ro": ("și", "de", "în", "la", "cu", "un", "pentru", "este", "mai",
+           "ce", "nu", "din", "pe", "care", "sau", "dar", "fost", "dacă",
+           "după", "când"),
+    "fi": ("ja", "on", "ei", "että", "se", "en", "mitä", "mutta", "niin",
+           "hän", "jos", "kun", "olen", "sen", "nyt", "vain", "joka",
+           "kaikki", "oli", "mun"),
 }
 
 
@@ -143,6 +164,70 @@ def language_id(
     for lang, r in reversed(ratios):
         out = F.when(r == best, F.lit(lang)).otherwise(out)
     return F.when(best >= F.lit(threshold), out).otherwise(F.lit(unknown))
+
+
+def language_id_model(
+    df,
+    text: str = "text",
+    key: str = "doc_id",
+    out: str = "lang",
+    model_fn=None,
+    threshold: float = 0.05,
+    unknown: str = "un",
+):
+    """Model-backed multiclass language ID — the plug-point in front of the
+    profile heuristic (``language_id``).
+
+    ``model_fn(texts: list[str]) -> list[str]`` is a batch classifier (the
+    fasttext lid.176 ``predict`` shape). Resolution order:
+
+    1. explicit ``model_fn`` — wrapped in an Arrow-batched mapInPandas
+       (one model call per batch, never per row);
+    2. the ``fasttext`` package if importable (absent in this container —
+       environment-gated like the NER/justext plug-points; loads
+       ``LID_MODEL_PATH`` from the env);
+    3. the deterministic profile fallback: EXACTLY ``language_id`` as a
+       pure Catalyst expression — this path is the one the SQL oracle
+       replays, so plugging a model in (or not) never silently changes
+       the verified baseline semantics.
+
+    Returns df with ``key`` and the ``out`` label column."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    if model_fn is None:
+        try:  # environment-gated real model
+            import fasttext  # noqa: F401
+            import os
+
+            path = os.environ.get("LID_MODEL_PATH")
+            if path:
+                _m = fasttext.load_model(path)
+
+                def model_fn(texts: "list[str]") -> "list[str]":
+                    labels, _ = _m.predict(
+                        [t.replace("\n", " ") for t in texts]
+                    )
+                    return [l[0].replace("__label__", "") for l in labels]
+        except Exception:
+            model_fn = None
+    if model_fn is None:
+        # oracle-exact fallback: the declarative profile classifier
+        return df.select(key, language_id(F.col(text), threshold, unknown).alias(out))
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    fn = model_fn
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = ["" if t is None else str(t) for t in pdf[text]]
+            labels = fn(texts) if texts else []
+            yield pd.DataFrame({key: pdf[key], out: labels})
+
+    ddl = f"{key} {df.schema[key].dataType.simpleString()}, {out} string"
+    return df.select(key, text).mapInPandas(batches, schema=ddl)
 
 
 def quality_score(text: Column | str) -> Column:

@@ -560,3 +560,49 @@ def test_fit_ivf_centroids_train_once(spark):
         df, q, k=5, n_cells=4, n_probe=2, centroids="ml").collect()]
     assert once == ml
     assert once[0] == 5  # the query vector itself is its own nearest
+
+
+# -------------------------------------------- language-ID model plug-point
+
+
+def test_language_id_expanded_profiles(spark):
+    """New languages classify via the expanded frozen profiles."""
+    from hypercane_spark.functions.text import language_id
+
+    rows = [
+        (1, "the cat is on the mat and it is warm for this time"),
+        (2, "och att det som en på är av för med den till inte har"),
+        (3, "yang dan di itu dengan ini untuk dari dalam tidak akan"),
+        (4, "zzz qqq xxx yyy www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "sv", 3: "id", 4: "un"}
+
+
+def test_language_id_model_plug_point(spark):
+    """An explicit batch model_fn rides mapInPandas; the no-model fallback
+    is byte-identical to the declarative language_id (the oracle path)."""
+    from hypercane_spark.functions.text import language_id, language_id_model
+
+    rows = [
+        (1, "the cat is on the mat and it is here for now"),
+        (2, "el perro es de la casa y en los campos"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fake_model(texts):
+        return ["xx" if "cat" in t else "yy" for t in texts]
+
+    plugged = {r["doc_id"]: r["lang"] for r in
+               language_id_model(df, model_fn=fake_model).collect()}
+    assert plugged == {1: "xx", 2: "yy", 3: "yy"}
+
+    fallback = {r["doc_id"]: r["lang"] for r in
+                language_id_model(df).collect()}
+    declarative = {r["doc_id"]: r["lang"] for r in
+                   df.select("doc_id",
+                             language_id("text").alias("lang")).collect()}
+    assert fallback == declarative
