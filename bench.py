@@ -69,6 +69,9 @@ HEADLINE = [
     "text_gopher_quality",
     "text_repetition",
     "sim_ivf_topk",
+    # round-4 operators (completing the 7/7 packaged-algorithm surface)
+    "pipeline_ordered_systematic",
+    "pipeline_simple_search_engine",
 ]
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))

@@ -324,14 +324,20 @@ def test_sharded_bloom_or_update_no_storage_accumulation(spark):
         bits_per_shard=1 << 12,
         compact_after=4,
     )
-    base_rdds = len(spark.sparkContext._jsc.getPersistentRDDs())
+    def _rdd_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    base_ids = _rdd_ids()
     for i in range(10):
         sb = sharded_bloom_or_update(
             sb, _fresh_keys(spark, 100, f"http://u.example/r{i}-"), "k"
         )
         assert len(sb.paths) <= 5  # snapshot + ≤ compact_after deltas
         assert len(os.listdir(sb.root)) == len(sb.paths)  # stale files gone
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base_rdds
+    # no NEW persistent RDDs from ten rounds of filter updates (the
+    # ContextCleaner may remove OTHER tests' cached RDDs concurrently, so
+    # compare added ids, not counts)
+    assert _rdd_ids() - base_ids == set()
     # all ten rounds' keys are still present (OR really accumulated
     # through appends AND through the compaction folds)
     for i in range(10):
