@@ -69,6 +69,12 @@ def get_spark(
     )
     if master:
         b = b.master(master)
+    # SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" — ad-hoc conf overrides for
+    # benchmark probes (e.g. parquet codec A/Bs) without code edits
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
