@@ -1542,7 +1542,11 @@ def pipeline_ordered_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in doc_id, so the oracle orders by doc_id desc directly."""
     from hypercane_spark.plans import ordered_systematic
 
-    m = _pipeline_mementos(spark, sf_dir)
+    # project to the two columns the pipeline reads BEFORE running it:
+    # the rank stage localCheckpoints its sorted input, which materializes
+    # every column present — carrying _pipeline_mementos' simhash columns
+    # through it costs ~8 s of never-used compute at sf0.1
+    m = _pipeline_mementos(spark, sf_dir).select("urim", "memento_datetime")
     return ordered_systematic(j=7).run(m).select("urim", "rank")
 
 
@@ -1589,7 +1593,9 @@ def pipeline_simple_search_engine(spark: SparkSession, sf_dir: str) -> DataFrame
     float-summation-order sensitive)."""
     from hypercane_spark.plans import simple_search_engine
 
-    m = _pipeline_mementos(spark, sf_dir)
+    # same pre-projection as pipeline_ordered_systematic: the rank stage
+    # materializes all columns, so carry only what the pipeline reads
+    m = _pipeline_mementos(spark, sf_dir).select("urim", "bpfree_text")
     out = simple_search_engine("join", score_decimals=6).run(m)
     return out.select("urim", "bm25_score", "rank")
 

@@ -198,13 +198,19 @@ def ordered_systematic(j: int = 5) -> Pipeline:
     the systematic stage walks that rank as its sequence, keeping positions
     j, 2j, … — exactly the reference's every-jth-line-of-the-ordered-TSV
     semantics. Surviving rows keep their original rank column (multiples
-    of j), which is what the ordered TSV's line numbers were."""
+    of j), which is what the ordered TSV's line numbers were.
+
+    The systematic stage here is the direct ``rank % j == 0`` filter, not
+    ``sample.systematic``: the ordering stage's rank IS already the dense
+    1-based sequence the sampler would recompute, and the general sampler
+    pays a second distributed global rank (sort + localCheckpoint +
+    offsets — a fixed multi-second cost per call) to derive positions from
+    an arbitrary seq column. Identical output, half the jobs."""
     from hypercane_spark.operators.order import by_memento_datetime
-    from hypercane_spark.operators.sample import systematic
 
     stages = [
         ("order-memento-datetime", lambda df: by_memento_datetime(df)),
-        ("systematic", lambda df: systematic(df, j, seq="rank")),
+        ("systematic", lambda df: df.where(F.col("rank") % j == 0)),
     ]
     return Pipeline("ordered-systematic", stages)
 
