@@ -113,7 +113,14 @@ def with_global_rank(
     as soon as the returned DataFrame is dropped, so repeated calls don't
     accumulate cached partitions (a measured storage leak in round 1).
     ``order_cols`` take Columns with asc()/desc() already applied;
-    include a unique tiebreaker column for deterministic ranks."""
+    include a unique tiebreaker column for deterministic ranks.
+
+    CALLER NOTE — project before ranking: the localCheckpoint
+    MATERIALIZES every column present (checkpointing breaks column
+    pruning), so expensive derived columns the caller never reads are
+    fully computed and stored. Measured: carrying two unused simhash
+    columns through a 5k-row rank cost ~8 s; pre-projecting to the two
+    consumed columns cut the query 11.1 → 3.8 s (sf0.1)."""
     spark = df.sparkSession
     sc = spark.sparkContext
     n = num_partitions or max(2, sc.defaultParallelism)
