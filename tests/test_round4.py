@@ -612,3 +612,62 @@ def test_language_id_model_plug_point(spark):
                    df.select("doc_id",
                              language_id("text").alias("lang")).collect()}
     assert fallback == declarative
+
+
+def test_crawl_sharded_resume_equivalence(spark, tmp_path):
+    """Sharded seen-filter + checkpoint resume: an interrupted crawl
+    resumed from the checkpoint fetches exactly what the uninterrupted
+    crawl does (the resume rebuild must cover the ENTIRE checkpointed
+    seen set, or pre-resume URLs re-fetch)."""
+    from hypercane_spark.synth import gen_link_graph, gen_robots
+
+    web_rows = gen_link_graph(n_urls=150)
+    schema = (
+        "urim string, urir string, host string, memento_datetime timestamp, "
+        "damage double, priority double, image_id string, "
+        "outlinks array<string>"
+    )
+    cols = [c.split()[0] for c in schema.split(", ")]
+    web = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in web_rows], schema
+    )
+    robots_rows = gen_robots()
+    robots = spark.createDataFrame(
+        [(r["host"], r["disallow"], r["crawl_delay"]) for r in robots_rows],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    seeds = spark.createDataFrame(
+        [(u,) for u in sorted(r["urim"] for r in web_rows)[::10]],
+        "urim string",
+    )
+
+    def key(df):
+        return sorted(
+            (r["urim"], r["round"]) for r in df.select("urim", "round").collect()
+        )
+
+    base = dict(per_host_budget=3, max_depth=2, bloom_shards=8)
+    full = CrawlEngine(
+        spark, web, robots=robots,
+        checkpoint_dir=str(tmp_path / "full"),
+        config=CrawlConfig(max_rounds=6, **base),
+    ).run(seeds)
+
+    part_dir = str(tmp_path / "part")
+    CrawlEngine(
+        spark, web, robots=robots, checkpoint_dir=part_dir,
+        config=CrawlConfig(max_rounds=3, **base),
+    ).run(seeds)
+    resumed_eng = CrawlEngine(
+        spark, web, robots=robots, checkpoint_dir=part_dir,
+        config=CrawlConfig(max_rounds=6, **base),
+    )
+    resumed_tail = resumed_eng.run(seeds, resume=True)
+    # resumed engine rebuilt the sharded filter from the checkpointed seen
+    assert resumed_eng._sharded is not None
+    # full = rounds 0-5; resumed tail = rounds 3-5 ∪ (checkpointed 0-2)
+    tail_keys = key(resumed_tail)
+    prior_keys = []
+    for rnd in (0, 1, 2):
+        prior_keys += key(resumed_eng.ckpt.read_fetched(spark, rnd))
+    assert sorted(prior_keys + tail_keys) == key(full)
