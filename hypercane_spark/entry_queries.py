@@ -1787,6 +1787,85 @@ def text_language_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_pii_scrub",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+        text || (CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN ' server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 responded'
+          WHEN 2 THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4242 today'
+          ELSE '' END) AS t
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM p
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+        regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+        CAST(len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d')) AS INT) AS n_phone,
+        regexp_replace(t, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean
+      FROM s2
+    )
+    SELECT doc_id, clean, n_email, n_ipv4, n_phone,
+           CAST(n_email + n_ipv4 + n_phone AS INT) AS n_pii
+    FROM s3
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministic PII-bearing corpus (the testdata
+    docs carry none, so typed PII is appended by doc_id class — both
+    engines derive the identical input). Scrub order email → ipv4 → phone
+    with counts taken before each replacement (functions/text.py
+    PII_PATTERNS)."""
+    from hypercane_spark.functions.text import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    pii = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" server at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 responded"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" call +1 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-4242 today"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    work = d.select(
+        "doc_id", F.concat(F.col("text"), pii).alias("t")
+    ).select("doc_id", pii_scrub(F.col("t")).alias("s"))
+    return work.select(
+        "doc_id", "s.clean", "s.n_email", "s.n_ipv4", "s.n_phone", "s.n_pii"
+    )
+
+
+@q(
     "text_token_stats",
     f"""
     SELECT doc_id,

@@ -230,6 +230,49 @@ def language_id_model(
     return df.select(key, text).mapInPandas(batches, schema=ddl)
 
 
+# PII patterns — deliberately simple, RE2-compatible (so the DuckDB oracle
+# replays them verbatim) and anchored on word boundaries where both engines
+# agree. Scrub ORDER matters and is fixed: email → ipv4 → phone (the phone
+# pattern would otherwise eat dotted IPs' digit runs).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Scrub common PII from a text column — the standard LM-training-data
+    redaction pass (emails, IPv4 addresses, phone-number-shaped digit
+    runs → typed placeholders). Returns a struct:
+
+        (clean string, n_email int, n_ipv4 int, n_phone int, n_pii int)
+
+    Pure Catalyst (regexp_count + chained regexp_replace, one linear scan
+    per pattern, no Python); counts are taken BEFORE each replacement in
+    the fixed PII_PATTERNS order so the struct reports what was actually
+    redacted. Patterns are intentionally conservative/simple — an
+    auditable floor, not a DLP product; swap PII_PATTERNS for a model- or
+    dictionary-backed pass via mapInPandas when the environment has one
+    (same plug-point convention as language_id_model)."""
+    t = _c(text)
+    counts = []
+    cur = t
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).alias(
+                f"n_{name}"
+            )
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    total = counts[0] + counts[1] + counts[2]
+    return F.struct(
+        cur.alias("clean"),
+        *counts,
+        total.cast("int").alias("n_pii"),
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite document-quality score in [0,1]:
     0.4·length_score + 0.3·stopword_score + 0.3·(1 − punct_ratio·4 capped).

@@ -671,3 +671,30 @@ def test_crawl_sharded_resume_equivalence(spark, tmp_path):
     for rnd in (0, 1, 2):
         prior_keys += key(resumed_eng.ckpt.read_fetched(spark, rnd))
     assert sorted(prior_keys + tail_keys) == key(full)
+
+
+# ------------------------------------------------------------- PII scrub
+
+
+def test_pii_scrub(spark):
+    from hypercane_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org or bob@ex.io thanks"),
+        (2, "host 192.168.0.1 and 10.20.30.40 are up"),
+        (3, "call +1 555-0199-4242 re the invoice"),
+        (4, "clean document with no identifiers at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["s"].asDict()
+        for r in df.select("doc_id", pii_scrub("text").alias("s")).collect()
+    }
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2
+    assert "<EMAIL>" in out[1]["clean"] and "@" not in out[1]["clean"]
+    assert out[2]["n_ipv4"] == 2 and "<IP>" in out[2]["clean"]
+    assert "192.168" not in out[2]["clean"]
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["clean"]
+    assert out[4]["n_pii"] == 0 and out[4]["clean"].startswith("clean")
+    assert out[5]["clean"] is None and out[5]["n_pii"] == 0
