@@ -2585,6 +2585,42 @@ def report_generate_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_queries(d, text="text", key="doc_id")
 
 
+@q(
+    "dedup_decontaminate",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT md5(g) AS g FROM (
+        SELECT unnest(list_distinct({_SHINGLES_SQL})) AS g
+        FROM documents WHERE doc_id % 50 = 3)
+    ),
+    grams AS (
+      SELECT doc_id, md5(g) AS g FROM (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS g
+        FROM documents)
+    ),
+    cont AS (
+      SELECT doc_id FROM grams WHERE g IN (SELECT g FROM ev)
+      GROUP BY doc_id HAVING count(*) >= 3
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the eval set is the doc_id % 50 == 3
+    slice of the corpus itself (deterministic in both engines); training
+    docs sharing ≥ 3 distinct 3-gram shingles with it are dropped
+    (3-grams because the synthetic texts are short; production default is
+    the GPT-3-style 13)."""
+    from hypercane_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 50 == 3)
+    return decontaminate(
+        d, ev, shingle_n=3, min_overlaps=3
+    ).select("doc_id")
+
+
 # ===================================================== registry ordering
 #
 # The correctness driver pins the FIRST 50 registry entries. Surface the

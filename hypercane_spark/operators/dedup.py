@@ -398,3 +398,58 @@ def paragraph_dedup(
     if drop_empty_docs:
         return rebuilt
     return df.select(key).join(rebuilt, on=key, how="left").fillna({text: ""})
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    eval_text: str = "text",
+    shingle_n: int = 13,
+    min_overlaps: int = 1,
+    broadcast_eval: bool = True,
+    flags_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing ≥
+    ``min_overlaps`` distinct word n-grams with an evaluation set (the
+    standard GPT-3/PaLM-style 13-gram overlap rule; tune ``shingle_n``
+    down for short texts).
+
+    Scale shape: the eval set's distinct gram hashes are a small relation
+    (benchmarks are tiny next to a training corpus) — BROADCAST by default,
+    so the corpus side is one explode → md5 → broadcast semi-join →
+    groupBy(key) count with map-side partials, a single shuffle on the
+    doc key and none on the corpus grams. ``broadcast_eval=False`` falls
+    back to a shuffle join for pathologically large eval sets. Gram hashes
+    are md5 so a SQL oracle replays the exact set.
+
+    ``flags_only=True`` returns ``(key, n_contaminated_grams)`` for
+    auditing instead of filtering."""
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(shingles(eval_text, shingle_n))
+            ).alias("__g")
+        )
+        .select(F.md5("__g").alias("__g"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    corpus = df.select(
+        F.col(key),
+        F.explode(F.array_distinct(shingles(text, shingle_n))).alias("__g"),
+    ).select(key, F.md5("__g").alias("__g"))
+    # grams are distinct per doc, so count == distinct shared grams
+    overlaps = (
+        corpus.join(eval_grams, on="__g", how="left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_contaminated_grams"))
+    )
+    if flags_only:
+        return overlaps
+    contaminated = overlaps.where(
+        F.col("n_contaminated_grams") >= min_overlaps
+    ).select(key)
+    return df.join(contaminated, on=key, how="left_anti")

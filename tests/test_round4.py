@@ -698,3 +698,42 @@ def test_pii_scrub(spark):
     assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["clean"]
     assert out[4]["n_pii"] == 0 and out[4]["clean"].startswith("clean")
     assert out[5]["clean"] is None and out[5]["n_pii"] == 0
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_decontaminate(spark):
+    from hypercane_spark.operators.dedup import decontaminate
+
+    eval_rows = [(100, "the sky is blue over the quiet harbor today")]
+    corpus = [
+        (1, "i think the sky is blue over the quiet harbor today too"),  # hit
+        (2, "totally unrelated text about spark shuffles and joins"),
+        (3, "the sky is blue but nothing else matches here at all"),  # 2 grams
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    # min_overlaps=1: any shared 3-gram contaminates → 1 and 3 dropped
+    out1 = sorted(
+        r["doc_id"]
+        for r in decontaminate(df, ev, shingle_n=3, min_overlaps=1).collect()
+    )
+    assert out1 == [2]
+    # min_overlaps=3: doc 3 shares only 2 grams ("the sky is", "sky is
+    # blue") → survives; doc 1 shares ≥3 → dropped
+    out3 = sorted(
+        r["doc_id"]
+        for r in decontaminate(df, ev, shingle_n=3, min_overlaps=3).collect()
+    )
+    assert out3 == [2, 3]
+    # flags audit mode reports the per-doc overlap counts
+    flags = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in decontaminate(df, ev, shingle_n=3, flags_only=True).collect()
+    }
+    assert flags[3] == 2 and flags[1] >= 3 and 2 not in flags
+    # eval side broadcast by default: no shuffle on the corpus-gram join
+    plan = decontaminate(df, ev, shingle_n=3)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
