@@ -57,8 +57,24 @@ class ErrorStore:
         try:
             return spark.read.parquet(self.path)
         except AnalysisException as e:
+            # Prefer the structured error class (stable across Spark
+            # versions/locales); fall back to message substrings for older
+            # Sparks whose exceptions predate getCondition/getErrorClass.
+            cond = None
+            for probe in ("getCondition", "getErrorClass"):
+                fn = getattr(e, probe, None)
+                if callable(fn):
+                    try:
+                        cond = fn()
+                    except Exception:
+                        cond = None
+                    if cond:
+                        break
             msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            if (cond or "").startswith("PATH_NOT_FOUND") or (
+                cond is None
+                and ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg)
+            ):
                 return spark.createDataFrame([], ERRORS_SCHEMA)
             raise
 

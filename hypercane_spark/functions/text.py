@@ -10,6 +10,9 @@ large-scale corpus pipeline needs.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -265,7 +268,9 @@ def pii_scrub(text: Column | str) -> Column:
             )
         )
         cur = F.regexp_replace(cur, pat, repl)
-    total = counts[0] + counts[1] + counts[2]
+    # Sum generically so a pattern added to PII_PATTERNS is automatically
+    # included in n_pii (a hardcoded 3-term sum would silently exclude it).
+    total = functools.reduce(operator.add, counts)
     return F.struct(
         cur.alias("clean"),
         *counts,

@@ -66,6 +66,11 @@ def shingles(text: str | F.Column, n: int = 3) -> F.Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+# Operators that already warned once that a cap is active (per process):
+# keeps the no-accounting path to exactly one warning, zero extra jobs.
+_CAP_WARNED: set[str] = set()
+
+
 def _cap_degenerate_buckets(
     banded: DataFrame,
     band_col: str,
@@ -78,19 +83,20 @@ def _cap_degenerate_buckets(
     sharing a band) re-introduces O(b²) pair blow-up. Partitioned count
     window (shuffles on the band key the join shuffles on anyway).
 
-    ``log_dropped=True`` counts the dropped buckets and warns — silent
-    truncation would read as full coverage — but the accounting is an EXTRA
-    Spark job over the banded table (the filter itself is lazy, so the
-    count can't ride the caller's action). Off by default: with the cap
-    enabled the whole cap+join is then one job; opt in when auditing a new
-    corpus."""
+    Truncation is never fully silent: a capped run without accounting warns
+    ONCE per operator that the cap is active (zero extra jobs — a
+    ``DataFrame.observe`` metric was tried and rejected: the banded frame
+    feeds a self-join, and a CollectMetrics node on both join branches
+    fails Spark's single-use assertion). ``log_dropped=True`` runs an eager
+    count of the dropped BUCKETS and warns with the number — an extra
+    Spark job over the banded table; opt in when auditing a new corpus."""
     if max_bucket is None:
         return banded
+    import warnings
+
     w = Window.partitionBy(band_col)
     capped = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
     if log_dropped:
-        import warnings
-
         n = (
             capped.where(F.col("__bn") > max_bucket)
             .select(band_col)
@@ -103,6 +109,14 @@ def _cap_degenerate_buckets(
                 f"{max_bucket} members — pairs within them are NOT emitted",
                 stacklevel=3,
             )
+    elif what not in _CAP_WARNED:
+        _CAP_WARNED.add(what)
+        warnings.warn(
+            f"{what}: max_bucket={max_bucket} cap active — degenerate "
+            "buckets are truncated WITHOUT accounting; pass "
+            "log_dropped=True to count the dropped buckets (extra job)",
+            stacklevel=3,
+        )
     return capped.where(F.col("__bn") <= max_bucket).drop("__bn")
 
 

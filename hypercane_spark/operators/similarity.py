@@ -84,6 +84,43 @@ def lsh_bucket(
     return bucket
 
 
+def lsh_bucket_hash(vec: Column, bits: int, seed: int) -> Column:
+    """Random-hyperplane LSH bucket id with the hyperplane weights generated
+    INSIDE the expression from (seed, bit, element index) — a deterministic
+    symmetric pseudo-random w(b,i) = frac(sin(a·i + c))·2 − 1 in [−1, 1].
+
+    Sign-LSH only requires the weight distribution to be symmetric about 0,
+    so this is as valid a hyperplane family as driver-side gaussians — and
+    it needs NO embedding width at plan time: the per-element weight is
+    computed from the element's index by ``transform``'s (value, index)
+    lambda, so the plan works for any array length with zero driver
+    actions. Used by ``embedding_near_dups`` when ``dim`` is not given."""
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        phase = float(seed) * 12.9898 + float(b) * 78.233
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double")
+                * (
+                    (
+                        lambda t: (t - F.floor(t)) * 2.0 - 1.0
+                    )(
+                        F.sin(i.cast("double") * 37.719 + F.lit(phase))
+                        * 43758.5453
+                    )
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],
@@ -123,16 +160,21 @@ def embedding_near_dups(
     """Cosine near-duplicate pairs (key_a < key_b, cosine ≥ threshold) found
     inside shared LSH buckets — O(rows·avg_bucket) not O(rows²).
 
-    Pass ``dim`` (the embedding width) to keep the plan fully declarative:
-    plain ``array<float>`` schemas don't carry a length, so when omitted
-    the width is sniffed from one row — a driver ``.first()`` action
-    before the real job (harmless once, wasteful inside a loop)."""
+    Fully declarative in BOTH modes — plain ``array<float>`` schemas don't
+    carry a length, so when ``dim`` is omitted the bucket is computed by
+    ``lsh_bucket_hash`` (hyperplane weights generated inside the expression
+    from the element index: works for any width, zero driver actions).
+    Passing ``dim`` selects the legacy driver-generated gaussian planes
+    (bit-compatible with earlier releases and with ``lsh_bucket_topk``'s
+    query-side numpy bucketing). Bucket families differ, but both are valid
+    sign-LSH: the near-dup SET is threshold-verified either way."""
     if dim is None:
-        dim = len(df.select(vec).first()[0])
-    planes = _hyperplanes(dim, bits, seed)
+        bucket = lsh_bucket_hash(F.col("v"), bits, seed)
+    else:
+        bucket = lsh_bucket(F.col("v"), _hyperplanes(dim, bits, seed))
     work = df.select(
         F.col(key).alias("k"), F.col(vec).alias("v")
-    ).withColumn("__b", lsh_bucket(F.col("v"), planes))
+    ).withColumn("__b", bucket)
     a, b = work.alias("a"), work.alias("b")
     return (
         a.join(b, on="__b")

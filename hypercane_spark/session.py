@@ -9,6 +9,7 @@ every pandas-UDF boundary.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -70,11 +71,31 @@ def get_spark(
     if master:
         b = b.master(master)
     # SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" — ad-hoc conf overrides for
-    # benchmark probes (e.g. parquet codec A/Bs) without code edits
+    # benchmark probes (e.g. parquet codec A/Bs) without code edits.
+    # Logged loudly: a stale export changes engine behavior invisibly, and
+    # getOrCreate() silently ignores conf when a session is already live —
+    # both failure modes must be attributable in benchmark output.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    overrides = []
     for pair in filter(None, env_conf.split(";")):
         k, _, v = pair.partition("=")
+        overrides.append((k.strip(), v.strip()))
         b = b.config(k.strip(), v.strip())
+    if overrides:
+        print(
+            "[hypercane_spark] SPARK_GRAFT_EXTRA_CONF overrides: "
+            + "; ".join(f"{k}={v}" for k, v in overrides),
+            file=sys.stderr,
+        )
+        if SparkSession.getActiveSession() is not None:
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_EXTRA_CONF set but a SparkSession is already "
+                "active — getOrCreate() will NOT apply the overrides; stop "
+                "the session first for them to take effect",
+                stacklevel=2,
+            )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

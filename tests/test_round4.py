@@ -502,25 +502,41 @@ def test_simple_search_engine_pipeline(spark):
     assert {r["urim"] for r in top} == {"u1", "u4"}
 
 
-def test_registry_surfaces_pipelines_in_pinned_window():
-    """The correctness driver pins the first 50 registry entries; all seven
-    packaged-algorithm pipelines must sit inside that window."""
+def test_registry_rotation_never_gated_first():
+    """Round-5 rotation policy: every registry query that has never had an
+    external-gate row (absent from all committed CORRECTNESS_r*.json) must
+    sit inside the driver's first-50 window; everything that rotates out
+    must already have a driver-green row in a past round."""
+    import glob
+    import json
+    import os
+
     from hypercane_spark.entry_queries import REGISTRY
 
-    first50 = list(REGISTRY.keys())[:50]
-    for name in [
-        "pipeline_dsa1", "pipeline_dsa2", "pipeline_dsa3", "pipeline_dsa4",
-        "pipeline_filtered_random", "pipeline_ordered_systematic",
-        "pipeline_simple_search_engine",
-    ]:
-        assert name in first50, name
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gated = set()
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(f) as fh:
+            gated |= set(json.load(fh).keys())
+    keys = list(REGISTRY.keys())
+    first50, rest = keys[:50], keys[50:]
+    never_gated = [k for k in keys if k not in gated]
+    if len(never_gated) <= 50:
+        for name in never_gated:
+            assert name in first50, f"never-gated {name} outside window"
+    for name in rest:
+        assert name in gated, f"rotated-out {name} has no past gate row"
 
 
 # ------------------------------------------- similarity driver-action fixes
 
 
-def test_embedding_near_dups_dim_param_matches_sniff(spark):
+def test_embedding_near_dups_default_path_no_driver_action(spark, monkeypatch):
+    # Round-5 fix: the dim=None default must NOT sniff the width with a
+    # driver .first() — the bucket is computed by lsh_bucket_hash (weights
+    # from the element index, dim-free). Both paths find the planted pair.
     import numpy as np
+    from pyspark.sql import DataFrame
 
     from hypercane_spark.operators import similarity as SIM
 
@@ -529,17 +545,23 @@ def test_embedding_near_dups_dim_param_matches_sniff(spark):
     base[1] = base[0] + 0.01 * rng.randn(16)
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    sniffed = {
+
+    def _no_first(self, *a, **k):
+        raise AssertionError("driver .first() on the default near-dup path")
+
+    monkeypatch.setattr(DataFrame, "first", _no_first)
+    default = {
         (r["vec_id_a"], r["vec_id_b"])
         for r in SIM.embedding_near_dups(df, threshold=0.95, bits=6).collect()
     }
+    monkeypatch.undo()
     explicit = {
         (r["vec_id_a"], r["vec_id_b"])
         for r in SIM.embedding_near_dups(
             df, threshold=0.95, bits=6, dim=16
         ).collect()
     }
-    assert sniffed == explicit == {(0, 1)}
+    assert default == explicit == {(0, 1)}
 
 
 def test_fit_ivf_centroids_train_once(spark):
