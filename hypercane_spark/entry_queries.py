@@ -1726,6 +1726,69 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "w", "h", F.length("bytes").alias("nbytes"))
 
 
+_MM_VID_N = 40
+
+
+def _mm_videos(spark: SparkSession) -> DataFrame:
+    from hypercane_spark.synth import gen_videos
+
+    cols = ["video_id", "bytes", "n_frames", "w", "h", "fps", "caption"]
+    rows = gen_videos(_MM_VID_N)
+    return spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows],
+        "video_id string, bytes binary, n_frames int, w int, h int, "
+        "fps int, caption string",
+    )
+
+
+def _mm_frame_expected_sql() -> str:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypercane_spark.synth import average_phash, gen_videos, iter_video_frames
+
+    def spark_round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    vals = []
+    for r in gen_videos(_MM_VID_N):
+        for idx, frame in iter_video_frames(r["bytes"], every_n=5):
+            vals.append(
+                f"('{r['video_id']}', {idx}, {frame.shape[1]}, "
+                f"{frame.shape[0]}, "
+                f"CAST({spark_round6(float(frame.mean()))!r} AS DOUBLE), "
+                f"{average_phash(frame)})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(video_id, frame_idx, dec_w, dec_h, mean_lum, phash64)"
+    )
+
+
+@q("mm_frame_sample", _mm_frame_expected_sql())
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame_sample → decode_stats composition: every-5th-frame sampling
+    (offset-sliced, not full-stream decode) re-encoded as stand-alone
+    image containers, then the standard image stats over the frames —
+    the two multimodal operators composing is the point."""
+    from hypercane_spark.operators.multimodal import decode_stats, frame_sample
+
+    frames = frame_sample(_mm_videos(spark), every_n=5).withColumn(
+        "frame_idx", F.col("frame_idx").cast("string")
+    )
+    out = decode_stats(frames, keep=("video_id", "frame_idx"))
+    return out.select(
+        "video_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "dec_w",
+        "dec_h",
+        F.round(F.col("mean_lum"), 6).alias("mean_lum"),
+        "phash64",
+    )
+
+
 # ============================================================== text analysis
 
 _STOPWORDS_SQL = """['the','a','an','and','or','of','to','in','is','it','that',

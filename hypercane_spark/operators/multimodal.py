@@ -209,17 +209,40 @@ def frame_sample(
     every_n: int = 10,
     bytes_col: str = "bytes",
     key: str = "video_id",
+    frame_fmt: str = "png",
 ) -> DataFrame:
-    """Video frame sampling STUB: the container has no video codec. The
-    Spark plumbing (schema, explode shape) is real; the decode raises."""
+    """Sample every ``every_n``-th frame from video containers → one row
+    per sampled frame: (key, frame_idx, bytes).
+
+    Default path decodes the deterministic stand-in container
+    (synth.encode_video): frames are sliced by OFFSET from the payload —
+    sampling k of n frames reads k·frame_bytes, not the whole stream,
+    mirroring keyframe seeks in a real container. Each sampled frame is
+    re-encoded as a stand-alone image container (``frame_fmt``) so every
+    downstream image operator (decode_stats, image_rank, resize)
+    composes directly on the output. Real codecs plug into the same
+    mapInPandas body: unknown magic falls through to a pyav import-try
+    (synth.iter_video_frames).
+
+    Scale shape: one Arrow batch of containers in, a frame batch out —
+    row count grows ~n_frames/every_n per video but each output row is a
+    single frame, so batch memory is bounded by Arrow's
+    maxRecordsPerBatch × frame size, independent of video length."""
     out_schema = f"{key} string, frame_idx int, bytes binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires a codec not present in this container; "
-            "plug a pyav/ffmpeg decoder into this mapInPandas body"
-        )
-        yield  # pragma: no cover
+        from hypercane_spark.synth import encode_image, iter_video_frames
+
+        for pdf in it:
+            keys: list = []
+            idxs: list[int] = []
+            outs: list[bytes] = []
+            for k, b in zip(pdf[key], pdf[bytes_col]):
+                for idx, frame in iter_video_frames(bytes(b), every_n):
+                    keys.append(k)
+                    idxs.append(idx)
+                    outs.append(encode_image(frame, frame_fmt))
+            yield pd.DataFrame({key: keys, "frame_idx": idxs, "bytes": outs})
 
     return df.select(key, bytes_col).mapInPandas(batches, schema=out_schema)
 

@@ -28,6 +28,7 @@ import numpy as np
 SEED = 42
 MAGIC_RAW = b"HCRW"  # lossless stand-in container
 MAGIC_LOSSY = b"HCLS"  # quantized stand-in container
+MAGIC_VIDEO = b"HCVF"  # uncompressed stand-in video container
 
 HOSTS_N = 40
 URIRS_N = 400
@@ -71,6 +72,82 @@ def decode_image(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             "real image codec unavailable; bytes are not in the stand-in container"
         ) from e
+
+
+def encode_video(frames: np.ndarray, fps: int = 10) -> bytes:
+    """frames: uint8 array (n, h, w, 3) → container bytes.
+
+    Uncompressed deterministic stand-in container (the sandbox has no
+    video codec): magic + (n, w, h, fps) header + raw frame planes. The
+    fixed frame stride makes every frame RANDOM-ACCESSIBLE by offset —
+    the property frame_sample exploits, mirroring keyframe seeks in a
+    real container."""
+    n, h, w, _ = frames.shape
+    return MAGIC_VIDEO + struct.pack("<IIII", n, w, h, fps) + frames.tobytes()
+
+
+def iter_video_frames(data: bytes, every_n: int = 1):
+    """Yield (frame_idx, uint8 (h, w, 3)) for frames 0, every_n, 2·every_n…
+
+    Stand-in container: each frame is SLICED by offset from the payload —
+    sampling k of n frames reads k·frame_bytes, not the whole stream.
+    Unknown magic tries a real codec (pyav, absent in this sandbox) so
+    genuine videos plug into the same call."""
+    magic = data[:4]
+    if magic == MAGIC_VIDEO:
+        n, w, h, _fps = struct.unpack("<IIII", data[4:20])
+        stride = w * h * 3
+        for idx in range(0, n, max(1, every_n)):
+            off = 20 + idx * stride
+            yield idx, np.frombuffer(
+                data[off: off + stride], dtype=np.uint8
+            ).reshape(h, w, 3)
+        return
+    try:  # real codec path (pyav not installed in this sandbox)
+        import av  # type: ignore
+        import io
+
+        with av.open(io.BytesIO(data)) as container:  # pragma: no cover
+            for idx, frame in enumerate(container.decode(video=0)):
+                if idx % max(1, every_n) == 0:
+                    yield idx, frame.to_ndarray(format="rgb24")
+    except ImportError as e:
+        raise NotImplementedError(
+            "real video codec unavailable; bytes are not in the stand-in "
+            "container (plug pyav/ffmpeg here)"
+        ) from e
+
+
+def gen_videos(
+    n: int,
+    seed: int = SEED,
+    frames_range: tuple[int, int] = (12, 36),
+    sizes: tuple[int, ...] = (16, 24),
+) -> list[dict]:
+    """Deterministic video fixture rows:
+    (video_id, bytes, n_frames, w, h, fps, caption)."""
+    rng = random.Random(seed + 7)
+    rows = []
+    for i in range(n):
+        w = rng.choice(list(sizes))
+        h = rng.choice(list(sizes))
+        nf = rng.randint(*frames_range)
+        px_rng = np.random.RandomState(seed + 1000 + i)
+        frames = px_rng.randint(
+            0, 256, size=(nf, h, w, 3), dtype=np.int64
+        ).astype(np.uint8)
+        rows.append(
+            {
+                "video_id": f"vid-{i:08d}",
+                "bytes": encode_video(frames, fps=10),
+                "n_frames": nf,
+                "w": w,
+                "h": h,
+                "fps": 10,
+                "caption": _caption(rng, i),
+            }
+        )
+    return rows
 
 
 def average_phash(pixels: np.ndarray) -> int:

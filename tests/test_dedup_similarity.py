@@ -139,7 +139,48 @@ def test_resize_images(spark, images):
         assert decode_image(bytes(r["bytes"])).shape == (16, 16, 3)
 
 
-def test_frame_sample_is_stubbed(spark, images):
+def test_frame_sample_stand_in_container(spark):
+    # Round 5: frame_sample has a working deterministic default — every
+    # Nth frame sliced by offset from the stand-in container, re-encoded
+    # as a stand-alone image container.
+    import numpy as np
+
+    from hypercane_spark.synth import (
+        decode_image,
+        encode_video,
+        gen_videos,
+        iter_video_frames,
+    )
+
+    rows = gen_videos(3)
+    df = spark.createDataFrame(
+        [(r["video_id"], r["bytes"]) for r in rows],
+        "video_id string, bytes binary",
+    )
+    out = M.frame_sample(df, every_n=4).collect()
+    expected = {
+        (r["video_id"], idx): frame
+        for r in rows
+        for idx, frame in iter_video_frames(r["bytes"], 4)
+    }
+    assert {(r["video_id"], r["frame_idx"]) for r in out} == set(expected)
+    for r in out:
+        np.testing.assert_array_equal(
+            decode_image(bytes(r["bytes"])),
+            expected[(r["video_id"], r["frame_idx"])],
+        )
+    # offset-slice property: frame k of the container equals frames[k] of
+    # the source array
+    frames = np.random.RandomState(0).randint(
+        0, 256, size=(9, 4, 6, 3), dtype=np.int64
+    ).astype(np.uint8)
+    got = dict(iter_video_frames(encode_video(frames), every_n=3))
+    assert set(got) == {0, 3, 6}
+    for k, fr in got.items():
+        np.testing.assert_array_equal(fr, frames[k])
+
+
+def test_frame_sample_unknown_magic_raises(spark, images):
     vid = images.limit(1).withColumnRenamed("image_id", "video_id")
     with pytest.raises(Exception) as ei:
         M.frame_sample(vid).collect()
