@@ -1600,6 +1600,155 @@ def pipeline_simple_search_engine(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("urim", "bm25_score", "rank")
 
 
+_PII_SUFFIX_SQL = """(CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN 1 THEN ' server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 responded'
+      WHEN 2 THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4242 today'
+      ELSE '' END)"""
+
+
+def _pii_suffix_col():
+    """Spark twin of _PII_SUFFIX_SQL: deterministic typed-PII suffix by
+    doc_id class (the testdata docs carry no PII)."""
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" server at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 responded"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" call +1 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-4242 today"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+
+
+@q(
+    "pipeline_llm_curate",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    ), gk AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+        list_filter(string_split_regex(text, '\n'), l -> trim(l) <> '') AS lines
+      FROM aug
+    ), gm AS (
+      SELECT doc_id, text, toks, lines, len(toks) AS n,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        ELSE 0.0 END AS mean_len,
+        CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
+             + len(regexp_extract_all(text, '…')) AS DOUBLE) AS symbols,
+        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS DOUBLE) AS bullets,
+        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE) AS ellipses,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(toks, w))) AS stop_hits
+      FROM gk
+    ), g AS (
+      SELECT doc_id, text FROM gm
+      WHERE n >= 5 AND n <= 100000
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND (CASE WHEN n > 0 THEN symbols / n <= 0.1 ELSE FALSE END)
+        AND (CASE WHEN len(lines) > 0 THEN bullets / len(lines) <= 0.9 ELSE TRUE END)
+        AND (CASE WHEN len(lines) > 0 THEN ellipses / len(lines) <= 0.3 ELSE TRUE END)
+        AND (CASE WHEN n > 0 THEN alpha / n >= 0.8 ELSE FALSE END)
+        AND stop_hits >= 1
+    ), ps AS (
+      SELECT doc_id, string_split_regex(text, '\n\n+') AS paras FROM g
+    ), p0 AS (
+      SELECT doc_id, unnest(paras) AS para, unnest(range(len(paras))) AS pos FROM ps
+    ), ph AS (
+      SELECT doc_id, pos, para,
+             md5(lower(regexp_replace(trim(para), '\\s+', ' ', 'g'))) AS hh
+      FROM p0 WHERE trim(para) <> ''
+    ), pk AS (
+      SELECT *, row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn FROM ph
+    ), pd AS (
+      SELECT doc_id, string_agg(para, e'\n\n' ORDER BY pos) AS text
+      FROM pk WHERE rn = 1 GROUP BY doc_id
+    ), banded AS (
+      SELECT DISTINCT doc_id AS k, unnest({_MINHASH_BANDS_SQL}) AS band
+      FROM pd
+    ), mnb AS (
+      SELECT k, band, min(k) OVER (PARTITION BY band) AS bmin FROM banded
+    ), sv AS (
+      SELECT k FROM mnb GROUP BY k
+      HAVING max(CASE WHEN k <> bmin THEN 1 ELSE 0 END) = 0
+    ), mh AS (
+      SELECT * FROM pd WHERE doc_id IN (SELECT k FROM sv)
+    ), evg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_distinct({_SHINGLES_SQL})) AS g
+        FROM aug WHERE doc_id % 50 = 3
+      )
+    ), cg AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS g FROM mh
+    ), cont AS (
+      SELECT doc_id FROM cg WHERE g IN (SELECT g FROM evg)
+      GROUP BY doc_id HAVING count(*) >= 3
+    ), dc AS (
+      SELECT * FROM mh WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ), s1 AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+      FROM dc
+    ), s2 AS (
+      SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(t, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INT) AS n_ipv4,
+        regexp_replace(t, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS t
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+        CAST(len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{{7,}}\\d')) AS INT) AS n_phone,
+        regexp_replace(t, '\\+?\\d[\\d\\- ]{{7,}}\\d', '<PHONE>', 'g') AS clean
+      FROM s2
+    )
+    SELECT doc_id, clean AS text, n_email, n_ipv4, n_phone,
+           CAST(n_email + n_ipv4 + n_phone AS INT) AS n_pii
+    FROM s3
+    """,
+)
+def pipeline_llm_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packaged LM-data curation chain (plans/llm.py): gopher gate →
+    paragraph dedup → minhash dedup → decontaminate (eval = the
+    doc_id % 50 == 3 slice, 3-gram/≥3 rule as dedup_decontaminate) → PII
+    scrub, over the documents table with the deterministic typed-PII
+    suffix appended (same input convention as text_pii_scrub). Gopher
+    thresholds lowered for the short synthetic texts (min_words=5,
+    min_stopword_hits=1)."""
+    from hypercane_spark.plans.llm import llm_curate
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), _pii_suffix_col()).alias("text")
+    )
+    ev = d.where(F.col("doc_id") % 50 == 3)
+    pipe = llm_curate(
+        ev,
+        gopher_overrides={"min_words": 5, "min_stopword_hits": 1},
+        decon_shingle_n=3,
+        decon_min_overlaps=3,
+    )
+    return pipe.run(d)
+
+
 # ============================================================== multimodal
 #
 # The testdata dirs carry no binary image table, so these queries build the
@@ -1893,33 +2042,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hypercane_spark.functions.text import pii_scrub
 
     d = _docs(spark, sf_dir)
-    pii = (
-        F.when(
-            F.col("doc_id") % 4 == 0,
-            F.concat(
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 4 == 1,
-            F.concat(
-                F.lit(" server at 10.0."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".7 responded"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 4 == 2,
-            F.concat(
-                F.lit(" call +1 555-01"),
-                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
-                F.lit("-4242 today"),
-            ),
-        )
-        .otherwise(F.lit(""))
-    )
+    pii = _pii_suffix_col()
     work = d.select(
         "doc_id", F.concat(F.col("text"), pii).alias("t")
     ).select("doc_id", pii_scrub(F.col("t")).alias("s"))

@@ -21,8 +21,10 @@ from hypercane_spark.plans.dsa import (
     ordered_systematic,
     simple_search_engine,
 )
+from hypercane_spark.plans.llm import llm_curate
 
 __all__ = [
+    "llm_curate",
     "Pipeline",
     "Stage",
     "dsa1",

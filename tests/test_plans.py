@@ -133,3 +133,49 @@ def test_pipeline_lazy_without_workdir(small_mementos):
     out = p.run(small_mementos)
     assert out.columns == ["urim", "seq"]
     assert out.count() > 0
+
+
+def test_llm_curate_stages_and_resume(spark, tmp_path):
+    """Round 5: the packaged LM-data curation pipeline — stage list,
+    end-to-end behavior on a crafted corpus, and .halg-style resume."""
+    from hypercane_spark.plans import llm_curate
+
+    good = "the quick brown fox and the lazy dog have seen many things today"
+    rows = [
+        (1, good + "\n\nall rights reserved"),
+        (2, good + "\n\nall rights reserved"),       # near-dup of 1 + dup para
+        (3, "short"),                                 # fails gopher n_words
+        (4, "please contact me at a@b.com for all of the details today"),
+        (53, "the secret eval answer is fourty two and that is that okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.where(F.col("doc_id") == 53)
+    pipe = llm_curate(
+        ev,
+        gopher_overrides={"min_words": 5, "min_stopword_hits": 1},
+        decon_shingle_n=3,
+        decon_min_overlaps=3,
+    )
+    assert pipe.stage_names() == [
+        "gopher-gate",
+        "paragraph-dedup",
+        "minhash-dedup",
+        "decontaminate",
+        "pii-scrub",
+    ]
+    out = {r["doc_id"]: r for r in pipe.run(df).collect()}
+    assert 3 not in out           # gopher gate
+    assert 53 not in out          # decontaminated (overlaps itself)
+    assert 2 not in out           # minhash near-dup of 1 (min key survives)
+    assert 1 in out and 4 in out
+    assert out[4]["n_email"] == 1 and "<EMAIL>" in out[4]["text"]
+    # duplicated paragraph kept only on its first (min doc_id) occurrence
+    assert "all rights reserved" in out[1]["text"]
+    # resume: run with workdir, nuke last stage, re-run → identical
+    wd = str(tmp_path / "llm")
+    full = {r["doc_id"] for r in pipe.run(df, workdir=wd).collect()}
+    import shutil
+
+    shutil.rmtree(wd + "/04-pii-scrub")
+    resumed = {r["doc_id"] for r in pipe.run(df, workdir=wd).collect()}
+    assert resumed == full == set(out)
