@@ -129,6 +129,10 @@ class RoundMetrics:
     fetched: int = 0
     new_links: int = 0
     seen_size: int = 0
+    # Spark jobs triggered this round (statusTracker delta) — the per-round
+    # driver fixed cost is jobs × (scheduling + commit latency), so this is
+    # the number to drive DOWN; see BENCH.md round-5 jobs/round table.
+    jobs: int = 0
     timings: dict = field(default_factory=dict)
 
 
@@ -521,8 +525,14 @@ class CrawlEngine:
             self._cuckoo = None
 
         fetched_parts: list[DataFrame] = []
+        tracker = spark.sparkContext.statusTracker()
         for rnd in range(start_round, self.cfg.max_rounds):
             m = RoundMetrics(round=rnd)
+            # jobs/round accounting: the engine never sets job groups, so
+            # every job (main thread AND checkpoint writer threads) lands in
+            # the default group — the before/after delta is this round's
+            # job count, the per-round driver fixed-cost driver.
+            jobs_before = len(tracker.getJobIdsForGroup(None))
             t0 = time.time()
 
             # MERGE-ON-READ: the frontier is never materialized as a
@@ -584,6 +594,7 @@ class CrawlEngine:
             # left). One driver action fewer per round — at 10^10 scale the
             # per-round driver round-trips ARE the iterative bottleneck.
             fetched_full = self._fetch(selected.drop("__surt"), rnd)
+            obs = None
             if self.ckpt:
                 # Production shape: fetch+verify runs ONCE, payload rows
                 # land directly in the round's columnar table, and the
@@ -591,7 +602,24 @@ class CrawlEngine:
                 # extraction prunes the `bytes` column at the scan, so
                 # ~20 KB/row of pixels never sits in executor memory
                 # (persisting them as JVM objects caused round-0 GC storms).
-                self.ckpt.write_fetched(rnd, fetched_full)
+                #
+                # The round's fetched count rides the write job as an
+                # observe() metric — the separate post-write count job was
+                # pure per-round fixed cost (parquet-stats scan, but still
+                # a scheduled job).
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                obs_metrics = [F.count(F.lit(1)).alias("n")]
+                if "fetch_err" in fetched_full.columns:
+                    obs_metrics.append(
+                        F.sum(
+                            F.col("fetch_err").isNotNull().cast("long")
+                        ).alias("n_err")
+                    )
+                self.ckpt.write_fetched(
+                    rnd, fetched_full.observe(obs, *obs_metrics)
+                )
                 fetched = self.ckpt.read_fetched(spark, rnd)
             else:
                 fetched = fetched_full.persist()
@@ -611,7 +639,12 @@ class CrawlEngine:
                 fetched = fetched.where(F.col("fetch_err").isNull()).drop(
                     "fetch_err"
                 )
-            m.selected = m.fetched = fetched.count()
+            if obs is not None:
+                row = obs.get  # dict of observed metrics
+                n_err = int(row.get("n_err") or 0) if self.errors else 0
+                m.selected = m.fetched = int(row["n"]) - n_err
+            else:
+                m.selected = m.fetched = fetched.count()
             m.timings["fetch"] = time.time() - t
             if m.selected == 0:
                 # |fetched| == |selected| only when selected ⊆ web (links
@@ -628,58 +661,68 @@ class CrawlEngine:
                     break
 
             t = time.time()
-            if self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo":
-                # O(selected) incremental adds: (fp, bucket) pairs computed
-                # partition-wise (JVM hash + vectorized derive), one batch
-                # insert on the driver — no per-row Python (mirrors the
-                # bloom's per-partition build)
-                if self._cuckoo is None:
-                    self._cuckoo = CuckooFilter(
-                        capacity=self.cfg.cuckoo_capacity
-                    )
-                if not self._cuckoo.full and not cuckoo_add_df(
-                    self._cuckoo,
-                    selected.select(F.col("__surt").alias("surt")),
-                    "surt",
-                ):
-                    import warnings
 
-                    warnings.warn(
-                        "cuckoo seen-filter is full; disabling the "
-                        "prefilter (exact anti-join only) for the rest of "
-                        "the crawl — raise cuckoo_capacity",
-                        stacklevel=2,
-                    )
-            elif self.cfg.use_bloom and self._shards() > 0:
-                # O(selected) incremental OR into the distributed (shard,
-                # bits) table; the stale table is unpersisted inside
-                # or_update so executor storage holds exactly one filter
-                keys = selected.select(F.col("__surt").alias("surt"))
-                if self._sharded is None:
-                    self._sharded = build_sharded_bloom(
-                        keys,
-                        "surt",
-                        self._shards(),
-                        self._bits_per_shard(),
-                        self.cfg.bloom_hashes,
-                        root=self._filter_root(),
-                    )
-                else:
-                    self._sharded = sharded_bloom_or_update(
-                        self._sharded, keys, "surt"
-                    )
-            elif self.cfg.use_bloom:
-                # O(selected) incremental update, OR-composed into the
-                # running filter
-                self._bloom = bloom_or(
-                    self._bloom,
-                    build_bloom(
+            def _update_filter() -> None:
+                # O(selected) incremental seen-filter update. Runs
+                # CONCURRENTLY with the checkpoint delta writes below —
+                # the filter job reads only `selected` (persisted) and is
+                # consumed no earlier than next round's _not_seen, while
+                # the writes read fetched/seen — independent inputs, so
+                # overlapping them collapses two-plus sequential job
+                # latencies into one (per-round fixed-cost cut, round 5).
+                if self.cfg.use_bloom and self.cfg.seen_filter == "cuckoo":
+                    # (fp, bucket) pairs computed partition-wise (JVM hash
+                    # + vectorized derive), one batch insert on the driver
+                    # — no per-row Python (mirrors the bloom's
+                    # per-partition build)
+                    if self._cuckoo is None:
+                        self._cuckoo = CuckooFilter(
+                            capacity=self.cfg.cuckoo_capacity
+                        )
+                    if not self._cuckoo.full and not cuckoo_add_df(
+                        self._cuckoo,
                         selected.select(F.col("__surt").alias("surt")),
                         "surt",
-                        self.cfg.bloom_bits,
-                        self.cfg.bloom_hashes,
-                    ),
-                )
+                    ):
+                        import warnings
+
+                        warnings.warn(
+                            "cuckoo seen-filter is full; disabling the "
+                            "prefilter (exact anti-join only) for the rest "
+                            "of the crawl — raise cuckoo_capacity",
+                            stacklevel=2,
+                        )
+                elif self.cfg.use_bloom and self._shards() > 0:
+                    # incremental OR into the distributed (shard, bits)
+                    # table; the stale table is unpersisted inside
+                    # or_update so executor storage holds exactly one
+                    # filter
+                    keys = selected.select(F.col("__surt").alias("surt"))
+                    if self._sharded is None:
+                        self._sharded = build_sharded_bloom(
+                            keys,
+                            "surt",
+                            self._shards(),
+                            self._bits_per_shard(),
+                            self.cfg.bloom_hashes,
+                            root=self._filter_root(),
+                        )
+                    else:
+                        self._sharded = sharded_bloom_or_update(
+                            self._sharded, keys, "surt"
+                        )
+                elif self.cfg.use_bloom:
+                    # OR-composed into the running filter
+                    self._bloom = bloom_or(
+                        self._bloom,
+                        build_bloom(
+                            selected.select(F.col("__surt").alias("surt")),
+                            "surt",
+                            self.cfg.bloom_bits,
+                            self.cfg.bloom_hashes,
+                        ),
+                    )
+
             # Append-only seen semantics: this round's delta is the selected
             # surts (distinct within the round; disjoint from `seen` by
             # construction — every candidate passed the seen anti-join, and
@@ -692,23 +735,32 @@ class CrawlEngine:
             m.timings["links"] = time.time() - t
 
             t = time.time()
+            from concurrent.futures import ThreadPoolExecutor
+
             if self.ckpt:
                 # Durable state is APPEND-ONLY on both axes: this round's
                 # newly-seen surts AND this round's newly-discovered links
                 # (the frontier delta). Nothing else — the merged frontier
                 # is never written (or cached) anywhere; the next round's
-                # merge-on-read scan consumes these files directly.
-                self.ckpt.write(
-                    rnd,
-                    links,
-                    delta,
-                    None,  # fetched already written at fetch time
-                    {
-                        "candidates": m.candidates,
-                        "selected": m.selected,
-                        "timings": m.timings,
-                    },
-                )
+                # merge-on-read scan consumes these files directly. The
+                # filter update overlaps the writes (independent inputs,
+                # both joined before anything consumes either).
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    fut_f = ex.submit(_update_filter)
+                    fut_w = ex.submit(
+                        self.ckpt.write,
+                        rnd,
+                        links,
+                        delta,
+                        None,  # fetched already written at fetch time
+                        {
+                            "candidates": m.candidates,
+                            "selected": m.selected,
+                            "timings": m.timings,
+                        },
+                    )
+                    fut_f.result()
+                    fut_w.result()
                 if (
                     self.cfg.compact_every
                     and (rnd + 1) % self.cfg.compact_every == 0
@@ -723,12 +775,19 @@ class CrawlEngine:
                 seen = self.ckpt.read_seen(spark, rnd)
             else:
                 # ckpt-less mode: the delta log lives in cluster storage —
-                # localCheckpointed parts, same merge-on-read formula
-                self._parts.append(links.localCheckpoint())
-                seen = seen.unionByName(delta.localCheckpoint())
+                # localCheckpointed parts, same merge-on-read formula, the
+                # same three-way overlap
+                with ThreadPoolExecutor(max_workers=3) as ex:
+                    fut_f = ex.submit(_update_filter)
+                    fut_l = ex.submit(links.localCheckpoint)
+                    fut_d = ex.submit(delta.localCheckpoint)
+                    fut_f.result()
+                    self._parts.append(fut_l.result())
+                    seen = seen.unionByName(fut_d.result())
             m.timings["checkpoint"] = time.time() - t
             if self.cfg.collect_metrics:
                 m.seen_size = seen.count()
+            m.jobs = len(tracker.getJobIdsForGroup(None)) - jobs_before
             m.new_links = 0
             if m.selected:
                 fetched_parts.append(fetched)
