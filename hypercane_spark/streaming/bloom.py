@@ -204,7 +204,10 @@ class ShardedBloom:
         paths: "list[str]",
         version: int = 0,
         compact_after: int = 8,
+        store=None,
     ):
+        from hypercane_spark.streaming.storage import DEFAULT_STORE
+
         self.table = table
         self.num_shards = num_shards
         self.bits_per_shard = bits_per_shard
@@ -213,12 +216,14 @@ class ShardedBloom:
         self.paths = paths
         self.version = version
         self.compact_after = compact_after
+        # physical binding (parquet delta log by default; Iceberg via
+        # streaming/storage.py) — all filter IO routes through it
+        self.store = store or DEFAULT_STORE
 
     def unpersist(self) -> None:
         """Delete the filter's files entirely (end-of-crawl cleanup)."""
-        import shutil
-
-        shutil.rmtree(self.root, ignore_errors=True)
+        for pth in {self.root, *self.paths}:
+            self.store.remove_table(pth)
 
 
 def _version_path(root: str, version: int, kind: str = "v") -> str:
@@ -261,29 +266,32 @@ def build_sharded_bloom(
     num_hashes: int = 5,
     root: str | None = None,
     compact_after: int = 8,
+    store=None,
 ) -> ShardedBloom:
     """Build a sharded bloom filter over a key column, materialized as ≤S
     small parquet rows under ``root`` (a fresh temp dir when omitted —
     pass a shared-storage path on a real cluster). Constant-depth lineage,
-    nothing on the driver."""
+    nothing on the driver. ``store`` selects the physical binding
+    (streaming/storage.py; parquet delta log by default)."""
+    from hypercane_spark.streaming.storage import DEFAULT_STORE
+
+    store = store or DEFAULT_STORE
     if root is None:
         import tempfile
 
         root = tempfile.mkdtemp(prefix="sharded_bloom_")
-    else:
-        import shutil
-
-        # the dir is dedicated to this filter: clear stale versions left
-        # by a previous run before (re)building v0
-        shutil.rmtree(root, ignore_errors=True)
+    # the dir is dedicated to this filter: clear stale versions left
+    # by a previous run before (re)building v0
+    store.remove_table(root)
     path = _version_path(root, 0)
-    _build_shard_table(df, key, num_shards, bits_per_shard, num_hashes).write.mode(
-        "overwrite"
-    ).parquet(path)
-    table = df.sparkSession.read.parquet(path)
+    store.write_table(
+        _build_shard_table(df, key, num_shards, bits_per_shard, num_hashes),
+        path,
+    )
+    table = store.read_table(df.sparkSession, path)
     return ShardedBloom(
         table, num_shards, bits_per_shard, num_hashes, root, [path], 0,
-        compact_after,
+        compact_after, store,
     )
 
 
@@ -300,14 +308,15 @@ def sharded_bloom_or_update(
     at snapshot + compact_after deltas — the same merge-on-read + compact
     shape as the frontier log, and the replacement for the monolithic
     path's per-round full-filter broadcast (the 10^10-scale leak)."""
-    import shutil
-
     spark = new_keys.sparkSession
     nxt = sb.version + 1
     dpath = _version_path(sb.root, nxt, kind="d")
-    _build_shard_table(
-        new_keys, key, sb.num_shards, sb.bits_per_shard, sb.num_hashes
-    ).write.mode("overwrite").parquet(dpath)
+    sb.store.write_table(
+        _build_shard_table(
+            new_keys, key, sb.num_shards, sb.bits_per_shard, sb.num_hashes
+        ),
+        dpath,
+    )
     paths = [*sb.paths, dpath]
 
     if len(paths) > sb.compact_after:
@@ -321,21 +330,20 @@ def sharded_bloom_or_update(
             )
 
         vpath = _version_path(sb.root, nxt)
-        (
-            spark.read.parquet(*paths)
+        sb.store.write_table(
+            sb.store.read_table(spark, *paths)
             .groupBy("shard")
-            .applyInPandas(merge, schema="shard int, bits binary")
-            .write.mode("overwrite")
-            .parquet(vpath)
+            .applyInPandas(merge, schema="shard int, bits binary"),
+            vpath,
         )
         for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
+            sb.store.remove_table(p)
         paths = [vpath]
 
-    table = spark.read.parquet(*paths)
+    table = sb.store.read_table(spark, *paths)
     return ShardedBloom(
         table, sb.num_shards, sb.bits_per_shard, sb.num_hashes, sb.root,
-        paths, nxt, sb.compact_after,
+        paths, nxt, sb.compact_after, sb.store,
     )
 
 

@@ -36,11 +36,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hypercane_spark.streaming.storage import DEFAULT_STORE, StateStore
+
 
 class RoundCheckpoint:
-    def __init__(self, base: str):
+    def __init__(self, base: str, store: StateStore | None = None):
+        # ``store`` is the physical binding (parquet dirs by default;
+        # IcebergStateStore on a real catalog) — every read/write/list/
+        # publish below routes through it, so swapping storage never
+        # touches engine code. See streaming/storage.py.
         self.base = base
-        os.makedirs(base, exist_ok=True)
+        self.store = store or DEFAULT_STORE
+        self.store.ensure_base(base)
 
     def _dir(self, rnd: int) -> str:
         return os.path.join(self.base, f"round={rnd}")
@@ -48,21 +55,23 @@ class RoundCheckpoint:
     def write_seeds(self, seed_frontier: DataFrame) -> None:
         """One-time snapshot of the seed frontier (the 'round -1 delta').
         Reconstruction = merge(seeds ∪ all frontier deltas) − seen."""
-        seed_frontier.write.mode("overwrite").parquet(
-            os.path.join(self.base, "seeds.parquet")
+        self.store.write_table(
+            seed_frontier, os.path.join(self.base, "seeds.parquet")
         )
 
     def read_seeds(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.base, "seeds.parquet"))
+        return self.store.read_table(
+            spark, os.path.join(self.base, "seeds.parquet")
+        )
 
     def read_frontier_delta(self, spark: SparkSession, rnd: int) -> DataFrame:
-        return spark.read.parquet(
-            os.path.join(self._dir(rnd), "frontier_delta.parquet")
+        return self.store.read_table(
+            spark, os.path.join(self._dir(rnd), "frontier_delta.parquet")
         )
 
     def read_seen_delta(self, spark: SparkSession, rnd: int) -> DataFrame:
-        return spark.read.parquet(
-            os.path.join(self._dir(rnd), "seen_delta.parquet")
+        return self.store.read_table(
+            spark, os.path.join(self._dir(rnd), "seen_delta.parquet")
         )
 
     def write(
@@ -103,46 +112,42 @@ class RoundCheckpoint:
             jobs.append((fetched, os.path.join(d, "fetched.parquet")))
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
             futs = [
-                ex.submit(
-                    lambda df, p: df.write.mode("overwrite").parquet(p), df, p
-                )
-                for df, p in jobs
+                ex.submit(self.store.write_table, df, p) for df, p in jobs
             ]
             for f in futs:
                 f.result()
-        # manifest written last = commit marker (atomic-rename semantics)
-        tmp = os.path.join(d, ".manifest.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"round": rnd, **metrics}, f)
-        os.replace(tmp, os.path.join(d, "manifest.json"))
+        # manifest written last = commit marker (atomic-rename semantics
+        # in the parquet store; the snapshot commit itself under Iceberg)
+        self.store.put_manifest(
+            os.path.join(d, "manifest.json"), {"round": rnd, **metrics}
+        )
 
     def write_fetched(self, rnd: int, fetched: DataFrame) -> None:
         """Write the round's full fetched-mementos rows (incl. payload
         bytes) at fetch time; the engine then re-reads a column-pruned view
         so pixels never sit in executor memory."""
-        fetched.write.mode("overwrite").parquet(
-            os.path.join(self._dir(rnd), "fetched.parquet")
+        self.store.write_table(
+            fetched, os.path.join(self._dir(rnd), "fetched.parquet")
         )
 
     def read_fetched(self, spark: SparkSession, rnd: int) -> DataFrame:
-        return spark.read.parquet(
-            os.path.join(self._dir(rnd), "fetched.parquet")
+        return self.store.read_table(
+            spark, os.path.join(self._dir(rnd), "fetched.parquet")
         )
 
     def rounds(self) -> list[int]:
         out = []
-        if not os.path.isdir(self.base):
-            return out
-        for name in os.listdir(self.base):
-            if name.startswith("round=") and os.path.exists(
+        for name in self.store.list_children(self.base):
+            if name.startswith("round=") and self.store.manifest_exists(
                 os.path.join(self.base, name, "manifest.json")
             ):
                 out.append(int(name.split("=", 1)[1]))
         return sorted(out)
 
     def manifest(self, rnd: int) -> dict:
-        with open(os.path.join(self._dir(rnd), "manifest.json")) as f:
-            return json.load(f)
+        return self.store.get_manifest(
+            os.path.join(self._dir(rnd), "manifest.json")
+        )
 
     def compact(
         self, spark: SparkSession, rnd: int | None = None, prune: bool = False
@@ -164,8 +169,6 @@ class RoundCheckpoint:
         removes the subsumed delta dirs and the seed snapshot — after
         pruning, ``read()`` at rounds < ``rnd`` is no longer possible
         (manifest history is kept). Returns the compacted round."""
-        import shutil
-
         rounds = self.rounds()
         if not rounds:
             raise FileNotFoundError(f"no complete rounds under {self.base}")
@@ -175,29 +178,22 @@ class RoundCheckpoint:
         staged = []
         for df, name in ((frontier, "frontier.parquet"), (seen, "seen.parquet")):
             tmp = os.path.join(d, f".{name}.compact.tmp")
-            df.write.mode("overwrite").parquet(tmp)
+            self.store.write_table(df, tmp)
             staged.append((tmp, os.path.join(d, name)))
-        for tmp, final in staged:  # both written → flip (rename per axis)
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.replace(tmp, final)
+        for tmp, final in staged:  # both written → flip (publish per axis)
+            self.store.publish(tmp, final)
         if prune:
             for r in rounds:
                 if r > rnd:
                     continue
                 for name in ("frontier_delta.parquet", "seen_delta.parquet"):
-                    shutil.rmtree(
-                        os.path.join(self._dir(r), name), ignore_errors=True
-                    )
+                    self.store.remove_table(os.path.join(self._dir(r), name))
                 if r < rnd:
                     for name in ("frontier.parquet", "seen.parquet"):
-                        shutil.rmtree(
-                            os.path.join(self._dir(r), name),
-                            ignore_errors=True,
+                        self.store.remove_table(
+                            os.path.join(self._dir(r), name)
                         )
-            shutil.rmtree(
-                os.path.join(self.base, "seeds.parquet"), ignore_errors=True
-            )
+            self.store.remove_table(os.path.join(self.base, "seeds.parquet"))
         return rnd
 
     def read(
@@ -238,7 +234,7 @@ class RoundCheckpoint:
             r
             for r in rounds
             if r <= upto
-            and os.path.isdir(os.path.join(self._dir(r), full_name))
+            and self.store.table_exists(os.path.join(self._dir(r), full_name))
         ]
         base_r = max(fulls) if fulls else None
         paths: list[str] = []
@@ -249,7 +245,7 @@ class RoundCheckpoint:
             for r in rounds
             if r <= upto and (base_r is None or r > base_r)
             for p in [os.path.join(self._dir(r), delta_name)]
-            if os.path.isdir(p)
+            if self.store.table_exists(p)
         ]
         return paths
 
@@ -259,7 +255,7 @@ class RoundCheckpoint:
         paths = self._axis_paths("seen.parquet", "seen_delta.parquet", upto)
         if not paths:
             return spark.createDataFrame([], "surt string")
-        return spark.read.parquet(*paths)
+        return self.store.read_table(spark, *paths)
 
     def read_frontier_log(self, spark: SparkSession, upto: int) -> DataFrame:
         """RAW frontier log through round ``upto``: newest full snapshot
@@ -274,10 +270,10 @@ class RoundCheckpoint:
             "frontier.parquet", "frontier_delta.parquet", upto
         )
         if not any(p.endswith("frontier.parquet") for p in paths) and (
-            os.path.isdir(os.path.join(self.base, "seeds.parquet"))
+            self.store.table_exists(os.path.join(self.base, "seeds.parquet"))
         ):
             paths.insert(0, os.path.join(self.base, "seeds.parquet"))
-        return spark.read.parquet(*paths)
+        return self.store.read_table(spark, *paths)
 
     def read_frontier_raw(self, spark: SparkSession, upto: int) -> DataFrame:
         """Merged (but not seen-filtered) frontier through round ``upto``:
