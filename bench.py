@@ -72,6 +72,9 @@ HEADLINE = [
     # round-4 operators (completing the 7/7 packaged-algorithm surface)
     "pipeline_ordered_systematic",
     "pipeline_simple_search_engine",
+    # round-5 operators
+    "mm_frame_sample",
+    "pipeline_llm_curate",
 ]
 
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_CRAWL_URLS", "40000"))
