@@ -233,10 +233,18 @@ def run_crawl(spark) -> dict:
             ),
             collect_metrics=False,
             # SPARK_GRAFT_BLOOM_SHARDS=0 → legacy monolithic seen-filter
-            # (A/B lever); unset → the engine's sharded default
+            # (A/B lever); unset → the engine's sharded default.
+            # SPARK_GRAFT_BLOOM_BITS sizes the filter (total bits) so the
+            # sharded-vs-monolith crossover A/B can run at design sizing
+            # (~10 bits/key) instead of the smoke default.
             **(
                 {"bloom_shards": int(os.environ["SPARK_GRAFT_BLOOM_SHARDS"])}
                 if os.environ.get("SPARK_GRAFT_BLOOM_SHARDS")
+                else {}
+            ),
+            **(
+                {"bloom_bits": int(os.environ["SPARK_GRAFT_BLOOM_BITS"])}
+                if os.environ.get("SPARK_GRAFT_BLOOM_BITS")
                 else {}
             ),
         ),
