@@ -290,6 +290,11 @@ def run_crawl(spark) -> dict:
         "fidelity": fidelity,
         "stage_s": stage_timings,
         "stage_rounds_s": stage_rounds,
+        # Spark jobs triggered per round (statusTracker delta) — the
+        # per-round driver fixed cost is jobs × (scheduling + commit
+        # latency); this series is the number the round-5 fixed-cost work
+        # drives down (BENCH.md jobs/round table)
+        "jobs_rounds": [m.jobs for m in eng.metrics],
     }
 
 
